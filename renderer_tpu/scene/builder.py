@@ -1,0 +1,222 @@
+"""Host-side scene builder: accumulates meshes/instances/materials in numpy,
+then freezes into the fixed-capacity device Scene pytree.
+
+This is the synchronous load path of the reference (gltf_mesh_io.rs load_gltf
++ consolidate_mesh_buffers.rs) — meshes are consolidated into megabuffers at
+build time with library-global indices; instances reference meshes by id.
+The async streaming path lives in renderer_tpu.runtime.streaming.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from renderer_tpu.scene.types import (
+    Instances,
+    Lights,
+    Materials,
+    MeshLibrary,
+    Scene,
+    SceneLimits,
+)
+
+
+@dataclasses.dataclass
+class HostMesh:
+    """One mesh's attribute arrays on the host (numpy)."""
+
+    positions: np.ndarray  # (V, 3) f32
+    indices: np.ndarray    # (T, 3) i32, mesh-local
+    normals: Optional[np.ndarray] = None   # (V, 3)
+    uvs: Optional[np.ndarray] = None       # (V, 2)
+    tangents: Optional[np.ndarray] = None  # (V, 4)
+    lods: Optional[list] = None            # list of (Ti, 3) index arrays (LOD1+)
+
+    def __post_init__(self):
+        self.positions = np.asarray(self.positions, np.float32)
+        self.indices = np.ascontiguousarray(np.asarray(self.indices, np.int32)).reshape(-1, 3)
+        v = len(self.positions)
+        if self.normals is None:
+            self.normals = compute_vertex_normals(self.positions, self.indices)
+        if self.uvs is None:
+            self.uvs = np.zeros((v, 2), np.float32)
+        if self.tangents is None:
+            self.tangents = np.zeros((v, 4), np.float32)
+            self.tangents[:, 0] = 1.0
+            self.tangents[:, 3] = 1.0
+
+
+def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    p = positions
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    fn = np.cross(p[i1] - p[i0], p[i2] - p[i0])  # area-weighted face normals
+    n = np.zeros_like(p)
+    for k in range(3):
+        np.add.at(n, indices[:, k], fn)
+    lens = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.maximum(lens, 1e-20)).astype(np.float32)
+
+
+class SceneBuilder:
+    def __init__(self, limits: SceneLimits = SceneLimits()):
+        self.limits = limits
+        self._meshes: list[HostMesh] = []
+        self._materials: list[dict] = []
+        self._instances: list[dict] = []
+        self._lights: list[dict] = []
+
+    # -- meshes ------------------------------------------------------------
+    def add_mesh(self, mesh: HostMesh) -> int:
+        if len(self._meshes) >= self.limits.max_meshes:
+            raise ValueError("mesh library full")
+        self._meshes.append(mesh)
+        return len(self._meshes) - 1
+
+    # -- materials ----------------------------------------------------------
+    def add_material(
+        self,
+        base_color=(1.0, 1.0, 1.0, 1.0),
+        metallic=0.0,
+        roughness=0.8,
+        emissive=(0.0, 0.0, 0.0),
+        base_color_tex=-1,
+        normal_tex=-1,
+    ) -> int:
+        if len(self._materials) >= self.limits.max_materials:
+            raise ValueError("material table full")
+        self._materials.append(
+            dict(
+                base_color=np.asarray(base_color, np.float32),
+                metallic=float(metallic),
+                roughness=float(roughness),
+                emissive=np.asarray(emissive, np.float32),
+                base_color_tex=int(base_color_tex),
+                normal_tex=int(normal_tex),
+            )
+        )
+        return len(self._materials) - 1
+
+    # -- instances ----------------------------------------------------------
+    def add_instance(
+        self,
+        mesh_id: int,
+        material_id: int = 0,
+        translation=(0.0, 0.0, 0.0),
+        rotation=(1.0, 0.0, 0.0, 0.0),
+        scale=1.0,
+    ) -> int:
+        if len(self._instances) >= self.limits.max_instances:
+            raise ValueError("instance table full")
+        self._instances.append(
+            dict(
+                mesh_id=int(mesh_id),
+                material_id=int(material_id),
+                translation=np.asarray(translation, np.float32),
+                rotation=np.asarray(rotation, np.float32),
+                scale=float(scale),
+            )
+        )
+        return len(self._instances) - 1
+
+    # -- lights ---------------------------------------------------------------
+    def add_light(
+        self, position, color=(1.0, 1.0, 1.0), intensity=1.0, directional=False,
+        shadow_slot=-1,
+    ) -> int:
+        if len(self._lights) >= self.limits.max_lights:
+            raise ValueError("light table full")
+        self._lights.append(
+            dict(
+                position=np.asarray(position, np.float32),
+                color=np.asarray(color, np.float32),
+                intensity=float(intensity),
+                directional=bool(directional),
+                shadow_slot=int(shadow_slot),
+            )
+        )
+        return len(self._lights) - 1
+
+    # -- freeze ---------------------------------------------------------------
+    def build(self) -> Scene:
+        """Consolidate into the fixed-capacity Scene pytree (numpy arrays;
+        jnp promotes on first device use)."""
+        import jax.numpy as jnp
+
+        lim = self.limits
+        L = MeshLibrary.MAX_LODS
+
+        lib = {k: np.asarray(v) for k, v in MeshLibrary.empty(lim)._asdict().items()}
+        lib = {k: np.array(v) for k, v in lib.items()}
+
+        voff = 0
+        toff = 0
+        for m, mesh in enumerate(self._meshes):
+            v = len(mesh.positions)
+            lods = [mesh.indices] + list(mesh.lods or [])
+            if len(lods) > L:
+                raise ValueError(f"too many LODs ({len(lods)} > {L})")
+            total_t = sum(len(ix) for ix in lods)
+            if voff + v > lim.max_vertices or toff + total_t > lim.max_triangles:
+                raise ValueError("mesh library capacity exceeded")
+            lib["positions"][voff : voff + v] = mesh.positions
+            lib["normals"][voff : voff + v] = mesh.normals
+            lib["uvs"][voff : voff + v] = mesh.uvs
+            lib["tangents"][voff : voff + v] = mesh.tangents
+            lib["mesh_vertex_offset"][m] = voff
+            lib["mesh_vertex_count"][m] = v
+            lib["mesh_aabb_min"][m] = mesh.positions.min(axis=0)
+            lib["mesh_aabb_max"][m] = mesh.positions.max(axis=0)
+            for l, ix in enumerate(lods):
+                t = len(ix)
+                lib["indices"][toff : toff + t] = np.asarray(ix, np.int32) + voff
+                lib["lod_index_offset"][m, l] = toff
+                lib["lod_tri_count"][m, l] = t
+                toff += t
+            # missing LOD slots fall back to the last available LOD
+            for l in range(len(lods), L):
+                lib["lod_index_offset"][m, l] = lib["lod_index_offset"][m, len(lods) - 1]
+                lib["lod_tri_count"][m, l] = lib["lod_tri_count"][m, len(lods) - 1]
+            voff += v
+        lib["vertex_count"] = np.int32(voff)
+        lib["tri_count"] = np.int32(toff)
+        lib["mesh_count"] = np.int32(len(self._meshes))
+        meshes = MeshLibrary(**{k: jnp.asarray(v) for k, v in lib.items()})
+
+        inst = {k: np.array(v) for k, v in Instances.empty(lim)._asdict().items()}
+        for i, d in enumerate(self._instances):
+            inst["translation"][i] = d["translation"]
+            inst["rotation"][i] = d["rotation"]
+            inst["scale"][i] = d["scale"]
+            inst["mesh_id"][i] = d["mesh_id"]
+            inst["material_id"][i] = d["material_id"]
+            inst["alive"][i] = True
+        inst["count"] = np.int32(len(self._instances))
+        instances = Instances(**{k: jnp.asarray(v) for k, v in inst.items()})
+
+        mats = {k: np.array(v) for k, v in Materials.empty(lim)._asdict().items()}
+        for i, d in enumerate(self._materials):
+            mats["base_color_factor"][i] = d["base_color"]
+            mats["metallic"][i] = d["metallic"]
+            mats["roughness"][i] = d["roughness"]
+            mats["emissive"][i] = d["emissive"]
+            mats["base_color_tex"][i] = d["base_color_tex"]
+            mats["normal_tex"][i] = d["normal_tex"]
+        mats["count"] = np.int32(len(self._materials))
+        materials = Materials(**{k: jnp.asarray(v) for k, v in mats.items()})
+
+        lts = {k: np.array(v) for k, v in Lights.empty(lim)._asdict().items()}
+        for i, d in enumerate(self._lights):
+            lts["position"][i] = d["position"]
+            lts["color"][i] = d["color"]
+            lts["intensity"][i] = d["intensity"]
+            lts["directional"][i] = d["directional"]
+            lts["shadow_slot"][i] = d["shadow_slot"]
+            lts["alive"][i] = True
+        lts["count"] = np.int32(len(self._lights))
+        lights = Lights(**{k: jnp.asarray(v) for k, v in lts.items()})
+
+        return Scene(meshes=meshes, instances=instances, materials=materials, lights=lights)

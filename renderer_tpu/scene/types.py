@@ -1,0 +1,206 @@
+"""Fixed-capacity SoA scene pytrees.
+
+Capacity-and-mask design: TPU/XLA programs want static shapes, so every array
+here is allocated at a fixed capacity with a used-count/alive-mask — exactly
+the reference's own design (2400 indirect draw slots, 3M consolidated
+vertices, 4096 model matrices: /root/reference/src/renderer.rs:174-185,
+src/shaders/generate_work.comp:36-50). Dead slots are masked out inside the
+kernels rather than compacted on the host.
+
+Everything is a NamedTuple => automatically a JAX pytree; the whole Scene can
+be passed through jit / donated / sharded.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SceneLimits(NamedTuple):
+    """Design envelope, mirroring the reference's constants (BASELINE.md)."""
+
+    max_vertices: int = 1 << 20      # consolidated vertex capacity (ref: 3M)
+    max_triangles: int = 1 << 20     # consolidated index capacity / 3
+    max_meshes: int = 256            # distinct meshes in the library
+    max_instances: int = 16384       # ref: 4096 model matrices
+    max_materials: int = 256
+    max_lights: int = 16             # ref: 16 shadow atlas slots
+    max_textures: int = 64           # ref: 2x3072 bindless (atlas layers here)
+
+    @staticmethod
+    def tiny() -> "SceneLimits":
+        """Small limits for unit tests / dryruns."""
+        return SceneLimits(
+            max_vertices=4096,
+            max_triangles=4096,
+            max_meshes=16,
+            max_instances=64,
+            max_materials=16,
+            max_lights=4,
+            max_textures=4,
+        )
+
+
+class MeshLibrary(NamedTuple):
+    """Consolidated mesh megabuffers + per-mesh directory.
+
+    The analogue of the reference's ConsolidatedMeshBuffers
+    (consolidate_mesh_buffers.rs): all meshes share one positions / attributes
+    / index pool so culling and rasterization read from a single binding.
+    Indices are *library-global* (already offset by the mesh's vertex base).
+
+    Per-mesh LOD directory: ``lod_index_offset[m, l]`` / ``lod_tri_count[m, l]``
+    give up to MAX_LODS index ranges per mesh (ref: <=6 LODs,
+    scene_loader.rs:739-756). LOD 0 is the full mesh.
+    """
+
+    MAX_LODS = 6
+
+    positions: jnp.ndarray     # (V, 3) f32
+    normals: jnp.ndarray       # (V, 3) f32
+    tangents: jnp.ndarray      # (V, 4) f32 (xyz + handedness w)
+    uvs: jnp.ndarray           # (V, 2) f32
+    indices: jnp.ndarray       # (T, 3) i32, library-global vertex ids
+    vertex_count: jnp.ndarray  # () i32, used vertices
+    tri_count: jnp.ndarray     # () i32, used triangles
+    mesh_count: jnp.ndarray    # () i32
+    # per-mesh directory
+    mesh_vertex_offset: jnp.ndarray  # (M,) i32
+    mesh_vertex_count: jnp.ndarray   # (M,) i32
+    lod_index_offset: jnp.ndarray    # (M, MAX_LODS) i32, in triangles
+    lod_tri_count: jnp.ndarray       # (M, MAX_LODS) i32
+    mesh_aabb_min: jnp.ndarray       # (M, 3) f32, object space
+    mesh_aabb_max: jnp.ndarray       # (M, 3) f32
+
+    @staticmethod
+    def empty(limits: SceneLimits) -> "MeshLibrary":
+        V, T, M = limits.max_vertices, limits.max_triangles, limits.max_meshes
+        L = MeshLibrary.MAX_LODS
+        f32, i32 = jnp.float32, jnp.int32
+        return MeshLibrary(
+            positions=jnp.zeros((V, 3), f32),
+            normals=jnp.zeros((V, 3), f32),
+            tangents=jnp.zeros((V, 4), f32),
+            uvs=jnp.zeros((V, 2), f32),
+            indices=jnp.zeros((T, 3), i32),
+            vertex_count=jnp.zeros((), i32),
+            tri_count=jnp.zeros((), i32),
+            mesh_count=jnp.zeros((), i32),
+            mesh_vertex_offset=jnp.zeros((M,), i32),
+            mesh_vertex_count=jnp.zeros((M,), i32),
+            lod_index_offset=jnp.zeros((M, L), i32),
+            lod_tri_count=jnp.zeros((M, L), i32),
+            mesh_aabb_min=jnp.zeros((M, 3), f32),
+            mesh_aabb_max=jnp.zeros((M, 3), f32),
+        )
+
+
+class Instances(NamedTuple):
+    """Per-entity SoA: the ECS columns the render path consumes.
+
+    Mirrors Position/Rotation/Scale/GltfMesh/DrawIndex components
+    (/root/reference/src/ecs/components.rs, renderer.rs:117-149). ``alive``
+    replaces entity despawn (the ``Deleting`` marker) — dead slots stay
+    allocated and masked.
+    """
+
+    translation: jnp.ndarray  # (N, 3) f32
+    rotation: jnp.ndarray     # (N, 4) f32 quat (w,x,y,z)
+    scale: jnp.ndarray        # (N,) f32 uniform scale
+    mesh_id: jnp.ndarray      # (N,) i32
+    material_id: jnp.ndarray  # (N,) i32
+    alive: jnp.ndarray        # (N,) bool
+    count: jnp.ndarray        # () i32, slots in use (alive or dead)
+
+    @staticmethod
+    def empty(limits: SceneLimits) -> "Instances":
+        N = limits.max_instances
+        return Instances(
+            translation=jnp.zeros((N, 3), jnp.float32),
+            rotation=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (N, 1)),
+            scale=jnp.ones((N,), jnp.float32),
+            mesh_id=jnp.zeros((N,), jnp.int32),
+            material_id=jnp.zeros((N,), jnp.int32),
+            alive=jnp.zeros((N,), bool),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+class Materials(NamedTuple):
+    """PBR metallic-roughness material table (glTF semantics; matches the
+    parameters consumed by the reference's gltf_mesh.frag)."""
+
+    base_color_factor: jnp.ndarray  # (K, 4) f32
+    metallic: jnp.ndarray           # (K,) f32
+    roughness: jnp.ndarray          # (K,) f32
+    emissive: jnp.ndarray           # (K, 3) f32
+    base_color_tex: jnp.ndarray     # (K,) i32, atlas layer or -1
+    normal_tex: jnp.ndarray         # (K,) i32, atlas layer or -1
+    count: jnp.ndarray              # () i32
+
+    @staticmethod
+    def empty(limits: SceneLimits) -> "Materials":
+        K = limits.max_materials
+        return Materials(
+            base_color_factor=jnp.ones((K, 4), jnp.float32),
+            metallic=jnp.zeros((K,), jnp.float32),
+            roughness=jnp.full((K,), 0.8, jnp.float32),
+            emissive=jnp.zeros((K, 3), jnp.float32),
+            base_color_tex=jnp.full((K,), -1, jnp.int32),
+            normal_tex=jnp.full((K,), -1, jnp.int32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+class Lights(NamedTuple):
+    """Point/directional lights with shadow-atlas slots (ref: 4x4 atlas of
+    4096^2, shadow_mapping.rs:22-24; light components main.rs:365-384)."""
+
+    position: jnp.ndarray   # (L, 3) f32 (direction for directional lights)
+    color: jnp.ndarray      # (L, 3) f32, linear radiance scale
+    intensity: jnp.ndarray  # (L,) f32
+    directional: jnp.ndarray  # (L,) bool
+    shadow_slot: jnp.ndarray  # (L,) i32, atlas slot or -1
+    alive: jnp.ndarray      # (L,) bool
+    count: jnp.ndarray      # () i32
+
+    @staticmethod
+    def empty(limits: SceneLimits) -> "Lights":
+        L = limits.max_lights
+        return Lights(
+            position=jnp.zeros((L, 3), jnp.float32),
+            color=jnp.ones((L, 3), jnp.float32),
+            intensity=jnp.ones((L,), jnp.float32),
+            directional=jnp.zeros((L,), bool),
+            shadow_slot=jnp.full((L,), -1, jnp.int32),
+            alive=jnp.zeros((L,), bool),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+class Scene(NamedTuple):
+    """The whole renderable world as one pytree."""
+
+    meshes: MeshLibrary
+    instances: Instances
+    materials: Materials
+    lights: Lights
+
+    @staticmethod
+    def empty(limits: SceneLimits) -> "Scene":
+        return Scene(
+            meshes=MeshLibrary.empty(limits),
+            instances=Instances.empty(limits),
+            materials=Materials.empty(limits),
+            lights=Lights.empty(limits),
+        )
+
+
+def as_numpy_scene(scene: Scene) -> Scene:
+    """Pull a scene to host numpy (for the reference rasterizer / debugging)."""
+    import jax
+
+    return jax.tree_util.tree_map(np.asarray, scene)

@@ -1,0 +1,69 @@
+"""Scene substrate tests: builder consolidation, primitives sanity."""
+
+import numpy as np
+
+from renderer_tpu.scene import SceneBuilder, SceneLimits
+from renderer_tpu.scene import primitives
+
+
+def test_primitives_shapes():
+    for mesh in [primitives.box(), primitives.plane(segments=4), primitives.uv_sphere(), primitives.torus()]:
+        v = len(mesh.positions)
+        assert mesh.normals.shape == (v, 3)
+        assert mesh.uvs.shape == (v, 2)
+        assert mesh.indices.ndim == 2 and mesh.indices.shape[1] == 3
+        assert mesh.indices.min() >= 0 and mesh.indices.max() < v
+        lens = np.linalg.norm(mesh.normals, axis=-1)
+        np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+
+
+def test_sphere_normals_point_outward():
+    m = primitives.uv_sphere(radius=2.0)
+    # for a sphere centered at origin, normal == normalize(position)
+    expect = m.positions / np.linalg.norm(m.positions, axis=-1, keepdims=True)
+    np.testing.assert_allclose(m.normals, expect, atol=1e-5)
+
+
+def test_builder_consolidation():
+    b = SceneBuilder(SceneLimits.tiny())
+    box_id = b.add_mesh(primitives.box())
+    sph_id = b.add_mesh(primitives.uv_sphere(rings=4, sectors=6))
+    mat = b.add_material(base_color=(1, 0, 0, 1))
+    b.add_instance(box_id, mat, translation=(1, 0, 0))
+    b.add_instance(sph_id, mat, translation=(-1, 0, 0), scale=2.0)
+    scene = b.build()
+
+    lib = scene.meshes
+    assert int(lib.mesh_count) == 2
+    assert int(scene.instances.count) == 2
+    # consolidated offsets: sphere comes after box
+    assert int(lib.mesh_vertex_offset[1]) == 24
+    # indices are library-global: mesh 1's indices land inside its vertex range
+    t_off = int(lib.lod_index_offset[1, 0])
+    t_cnt = int(lib.lod_tri_count[1, 0])
+    tri = np.asarray(lib.indices[t_off : t_off + t_cnt])
+    assert tri.min() >= 24
+    assert tri.max() < int(lib.vertex_count)
+    # AABBs
+    np.testing.assert_allclose(np.asarray(lib.mesh_aabb_min[0]), [-0.5] * 3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lib.mesh_aabb_max[0]), [0.5] * 3, atol=1e-6)
+    # instance columns
+    assert bool(scene.instances.alive[0]) and bool(scene.instances.alive[1])
+    assert not bool(scene.instances.alive[2])
+    np.testing.assert_allclose(np.asarray(scene.instances.scale[1]), 2.0)
+
+
+def test_builder_lods():
+    b = SceneBuilder(SceneLimits.tiny())
+    mesh = primitives.uv_sphere(rings=6, sectors=8)
+    # fake LOD1: first half of the triangles
+    half = mesh.indices[: len(mesh.indices) // 2]
+    mesh.lods = [half]
+    mid = b.add_mesh(mesh)
+    scene = b.build()
+    lib = scene.meshes
+    assert int(lib.lod_tri_count[mid, 0]) == len(mesh.indices)
+    assert int(lib.lod_tri_count[mid, 1]) == len(half)
+    # missing LODs fall back to last real one
+    assert int(lib.lod_tri_count[mid, 5]) == len(half)
+    assert int(lib.lod_index_offset[mid, 5]) == int(lib.lod_index_offset[mid, 1])

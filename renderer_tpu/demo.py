@@ -1,0 +1,117 @@
+"""Demo CLI: render a test scene to a PNG.
+
+    python -m renderer_tpu.demo --scene box --size 256 --out /tmp/box.png
+
+The app-layer stand-in for the reference's winit window + game loop
+(/root/reference/src/main.rs): since a TPU pod has no swapchain, frames are
+written to disk (or streamed by the interactive runtime in
+renderer_tpu.runtime).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import time
+
+import numpy as np
+
+
+def build_scene(name: str):
+    import jax.numpy as jnp
+
+    from renderer_tpu import mathx
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    b = SceneBuilder(SceneLimits())
+    if name == "box":
+        box = b.add_mesh(primitives.box())
+        red = b.add_material(base_color=(0.8, 0.25, 0.2, 1.0))
+        b.add_instance(
+            box, red,
+            rotation=np.asarray(mathx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), 0.6)),
+        )
+    elif name == "spheres":
+        sph = b.add_mesh(primitives.uv_sphere(rings=24, sectors=48))
+        plane = b.add_mesh(primitives.plane(size=20.0))
+        floor = b.add_material(base_color=(0.6, 0.6, 0.62, 1.0))
+        b.add_instance(plane, floor, translation=(0, -0.6, 0))
+        for i in range(5):
+            for j in range(5):
+                m = b.add_material(
+                    base_color=(0.2 + 0.2 * i, 0.25, 0.95 - 0.2 * j, 1.0),
+                    roughness=0.1 + 0.2 * i,
+                    metallic=0.25 * j,
+                )
+                b.add_instance(sph, m, translation=(i - 2.0, 0.0, j - 2.0), scale=0.45)
+    elif name == "mixed":
+        box = b.add_mesh(primitives.box())
+        sph = b.add_mesh(primitives.uv_sphere(rings=16, sectors=24))
+        tor = b.add_mesh(primitives.torus())
+        plane = b.add_mesh(primitives.plane(size=12.0))
+        b.add_instance(plane, b.add_material(base_color=(0.55, 0.55, 0.6, 1)), translation=(0, -0.8, 0))
+        b.add_instance(box, b.add_material(base_color=(0.8, 0.3, 0.2, 1)), translation=(-1.4, 0, 0))
+        b.add_instance(sph, b.add_material(base_color=(0.2, 0.5, 0.9, 1)), translation=(0, 0, 0), scale=0.8)
+        b.add_instance(tor, b.add_material(base_color=(0.3, 0.8, 0.3, 1)), translation=(1.5, -0.2, 0), scale=0.7)
+    else:
+        raise SystemExit(f"unknown scene {name!r} (try: box, spheres, mixed)")
+    b.add_light(position=(3.0, 5.0, 4.0), intensity=30.0)
+    b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35)
+    return b.build()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="box")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--out", default="/tmp/render.png")
+    ap.add_argument("--orbit", type=float, default=0.5, help="camera orbit angle (rad)")
+    ap.add_argument("--frames", type=int, default=1, help="render N orbit frames (timing)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from renderer_tpu import mathx
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.passes.forward import render_forward
+    from renderer_tpu.utils.image import srgb_encode, write_png
+
+    scene = build_scene(args.scene)
+
+    def make_camera(angle):
+        r = 4.0
+        pos = jnp.array([r * math.sin(angle), 1.6, r * math.cos(angle)], jnp.float32)
+        rot = mathx.quat_mul(
+            mathx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), angle),
+            mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -0.35),
+        )
+        return Camera.create(position=pos, rotation=rot, fov_y=0.9, near=0.1, far=100.0)
+
+    t0 = time.time()
+    img, vis = render_forward(
+        scene, make_camera(args.orbit), width=args.size, height=args.size,
+        tri_capacity=16384,
+    )
+    img = jax.block_until_ready(img)
+    print(f"first frame (incl. compile): {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
+
+    if args.frames > 1:
+        t0 = time.time()
+        for k in range(args.frames):
+            img, vis = render_forward(
+                scene, make_camera(args.orbit + 0.02 * k),
+                width=args.size, height=args.size, tri_capacity=16384,
+            )
+        jax.block_until_ready(img)
+        dt = (time.time() - t0) / args.frames
+        print(f"steady-state: {dt * 1e3:.1f} ms/frame ({1.0 / dt:.1f} FPS)")
+
+    covered = float(np.mean(np.asarray(vis.tri_id) != -1))
+    print(f"coverage: {covered:.1%}")
+    write_png(args.out, srgb_encode(np.asarray(img)))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Geometry stage: instance transforms, draw-stream expansion, per-triangle
+culling — the TPU-native equivalent of the reference's GPU-driven cull
+pipeline (/root/reference/src/renderer/systems/cull_pipeline.rs +
+src/shaders/generate_work.comp).
+
+Where the reference's compute shader appends visible triangles to an indirect
+draw stream with subgroup ballots and atomics, here a fixed-capacity
+"triangle soup" is expanded from (instance, mesh LOD range) pairs with a
+searchsorted gather — the static-shape version of vkCmdDrawIndexedIndirectCount
+— and visibility becomes a mask that downstream stages honor (and that a
+compaction stage can densify; see ops/cull.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from renderer_tpu import mathx
+from renderer_tpu.mathx.camera import Camera, camera_matrices
+from renderer_tpu.ops.raster_spec import FRONT_DET_SIGN
+from renderer_tpu.scene.types import Scene
+
+
+class TriangleSoup(NamedTuple):
+    """Fixed-capacity post-transform triangle stream (the raster input).
+
+    clip:     (T, 3, 4) clip-space positions
+    world:    (T, 3, 3) world-space positions (lighting)
+    normal:   (T, 3, 3) world-space normals
+    uv:       (T, 3, 2)
+    tangent:  (T, 3, 4) world-space tangents (xyz) + handedness (w)
+    instance: (T,)      owning instance id (material lookup)
+    valid:    (T,)      bool — slot holds a live, non-culled triangle
+    count:    ()        i32 — live slots before masking (expansion total)
+    """
+
+    clip: jnp.ndarray
+    world: jnp.ndarray
+    normal: jnp.ndarray
+    uv: jnp.ndarray
+    tangent: jnp.ndarray
+    instance: jnp.ndarray
+    valid: jnp.ndarray
+    count: jnp.ndarray
+
+
+def instance_matrices(scene: Scene) -> jnp.ndarray:
+    """(N, 4, 4) model matrices for the whole instance table (one fused op;
+    ref: ecs.rs:52-64 model_matrix_calculation)."""
+    inst = scene.instances
+    return mathx.compose_model_matrices(inst.translation, inst.rotation, inst.scale)
+
+
+def coarse_cull(scene: Scene, model: jnp.ndarray, viewproj: jnp.ndarray) -> jnp.ndarray:
+    """Instance-level frustum cull on world-space AABBs -> (N,) bool visible.
+    Ref: cull_pipeline.rs:99-120 coarse_culling (CPU par_for_each)."""
+    inst = scene.instances
+    mn = scene.meshes.mesh_aabb_min[inst.mesh_id]
+    mx = scene.meshes.mesh_aabb_max[inst.mesh_id]
+    wmin, wmax = mathx.transform_aabb(model, mn, mx)
+    center = (wmin + wmax) * 0.5
+    extent = (wmax - wmin) * 0.5
+    planes = mathx.frustum_planes(viewproj)
+    outside = mathx.aabb_outside_frustum(planes, center, extent)
+    return inst.alive & ~outside
+
+
+def select_lod(
+    scene: Scene, camera: Camera, model: jnp.ndarray, lod_bias: float = 0.0
+) -> jnp.ndarray:
+    """Distance-based LOD per instance -> (N,) i32 in [0, MAX_LODS).
+    Ref: helpers.rs:3-11 (LOD pick by camera distance)."""
+    inst = scene.instances
+    center = (scene.meshes.mesh_aabb_min + scene.meshes.mesh_aabb_max) * 0.5
+    c = center[inst.mesh_id]
+    world_c = jnp.einsum("nij,nj->ni", model[:, :3, :3], c) + model[:, :3, 3]
+    dist = jnp.linalg.norm(world_c - camera.position, axis=-1)
+    radius = jnp.linalg.norm(
+        (scene.meshes.mesh_aabb_max - scene.meshes.mesh_aabb_min)[inst.mesh_id], axis=-1
+    ) * (0.5 * inst.scale)
+    # screen-coverage proxy: radius / distance
+    ratio = radius / jnp.maximum(dist, 1e-6)
+    lod = jnp.floor(jnp.log2(jnp.maximum(0.25 / jnp.maximum(ratio, 1e-6), 1.0)) + lod_bias)
+    return jnp.clip(lod, 0, scene.meshes.lod_tri_count.shape[1] - 1).astype(jnp.int32)
+
+
+def expand_draw_stream(
+    scene: Scene,
+    visible: jnp.ndarray,
+    lod: jnp.ndarray,
+    clip_mats: jnp.ndarray,
+    model: jnp.ndarray,
+    capacity: int,
+) -> TriangleSoup:
+    """Expand (visible instance, LOD triangle range) pairs into the flat
+    fixed-capacity triangle soup.
+
+    The mapping soup-slot -> (instance, local tri) is computed on device with
+    a cumsum + searchsorted (log N per slot): the static-shape analogue of the
+    indirect draw stream. Slots past the live total are invalid.
+    """
+    inst = scene.instances
+    lib = scene.meshes
+    n = inst.mesh_id.shape[0]
+
+    tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)  # (N,)
+    ends = jnp.cumsum(tc)
+    total = ends[-1]
+    starts = ends - tc
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    owner = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
+    owner = jnp.minimum(owner, n - 1)
+    local = slots - starts[owner]
+    valid = slots < total
+
+    tri_base = lib.lod_index_offset[inst.mesh_id[owner], lod[owner]]
+    tri_idx = jnp.where(valid, tri_base + local, 0)
+    vidx = lib.indices[tri_idx]  # (T, 3) library-global vertex ids
+
+    pos = lib.positions[vidx]  # (T, 3, 3)
+    nrm = lib.normals[vidx]
+    uv = lib.uvs[vidx]
+    tan = lib.tangents[vidx]
+
+    m_clip = clip_mats[owner]  # (T, 4, 4)
+    m_model = model[owner]
+    ones = jnp.ones(pos.shape[:-1] + (1,), pos.dtype)
+    hpos = jnp.concatenate([pos, ones], axis=-1)  # (T, 3, 4)
+    clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
+    world = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], pos) + m_model[:, None, :3, 3]
+    # normals/tangents: rotate by the linear part (uniform scale => no inverse
+    # transpose needed; renormalized in shading)
+    wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm)
+    wtan_xyz = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], tan[..., :3])
+    wtan = jnp.concatenate([wtan_xyz, tan[..., 3:]], axis=-1)
+
+    return TriangleSoup(
+        clip=clip,
+        world=world,
+        normal=wnrm,
+        uv=uv,
+        tangent=wtan,
+        instance=owner,
+        valid=valid,
+        count=jnp.minimum(total, capacity).astype(jnp.int32),
+    )
+
+
+def pixel_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Clip (..., 4) -> pixel-homogeneous (..., 3). See ops/raster_spec.py."""
+    x, y, w = clip[..., 0], clip[..., 1], clip[..., 3]
+    return jnp.stack(
+        [(x + w) * (0.5 * width), (w - y) * (0.5 * height), w], axis=-1
+    )
+
+
+def adjugate3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched adjugate of (..., 3, 3)."""
+    def c(i, j):  # cofactor of entry (j, i): adj = cofactor(M)^T
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        j1, j2 = (j + 1) % 3, (j + 2) % 3
+        return m[..., j1, i1] * m[..., j2, i2] - m[..., j1, i2] * m[..., j2, i1]
+
+    rows = [[c(i, j) for j in range(3)] for i in range(3)]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def triangle_setup(soup_clip: jnp.ndarray, width: int, height: int):
+    """Per-triangle raster setup from clip positions (T, 3, 4).
+
+    Returns (adj, det, zw) where
+      adj: (T, 3, 3) oriented edge matrix (rows are edge fns, inside >= 0 for
+           front faces after multiplying by sign(det)*FRONT_DET_SIGN upstream)
+      det: (T,) raw determinant (sign = facing)
+      zw:  (T, 3, 2) per-vertex (z_clip, w_clip)
+    """
+    u = pixel_homogeneous(soup_clip, width, height)  # (T, 3v, 3)
+    m = jnp.swapaxes(u, -1, -2)  # columns are vertices
+    adj = adjugate3(m)
+    det = (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+    zw = jnp.stack([soup_clip[..., 2], soup_clip[..., 3]], axis=-1)
+    return adj, det, zw
+
+
+def backface_cull_mask(det: jnp.ndarray) -> jnp.ndarray:
+    """(T,) True for front-facing triangles (ref: generate_work.comp:132-140
+    backface via determinant)."""
+    return det * FRONT_DET_SIGN > 0
+
+
+def ndc_bounds(soup_clip: jnp.ndarray):
+    """Conservative NDC AABB per triangle -> (min_xy, max_xy), each (T, 2).
+
+    Only valid for triangles with all w > 0; triangles crossing w=0 get a
+    full-screen bound. Used for small-triangle rejection and tile binning.
+    """
+    w = soup_clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    ndc = soup_clip[..., :2] / safe_w[..., None]  # (T, 3, 2)
+    all_front = jnp.all(w > 1e-9, axis=-1, keepdims=True)
+    lo = jnp.where(all_front, jnp.min(ndc, axis=-2), -1.0)
+    hi = jnp.where(all_front, jnp.max(ndc, axis=-2), 1.0)
+    return lo, hi
+
+
+def frustum_cull_mask(soup_clip: jnp.ndarray) -> jnp.ndarray:
+    """(T,) False when the triangle is certainly outside the view volume
+    (all three verts beyond one clip plane; ref: generate_work.comp NDC
+    frustum reject)."""
+    x, y, z, w = (soup_clip[..., i] for i in range(4))
+    out = (
+        jnp.all(x < -w, axis=-1)
+        | jnp.all(x > w, axis=-1)
+        | jnp.all(y < -w, axis=-1)
+        | jnp.all(y > w, axis=-1)
+        | jnp.all(z < 0, axis=-1)
+        | jnp.all(z > w, axis=-1)
+    )
+    return ~out
+
+
+def cull_triangles(soup: TriangleSoup, cull_backface: bool = True) -> TriangleSoup:
+    """Apply per-triangle backface + frustum culling to the soup's valid mask
+    (the generate_work.comp stage)."""
+    _, det, _ = triangle_setup(soup.clip, 2, 2)  # det sign is resolution-free
+    mask = soup.valid & frustum_cull_mask(soup.clip)
+    if cull_backface:
+        mask = mask & backface_cull_mask(det)
+    else:
+        mask = mask & (det != 0)
+    return soup._replace(valid=mask)
+
+
+def camera_clip_matrices(camera: Camera, model: jnp.ndarray):
+    """(viewproj, per-instance clip matrices)."""
+    _, _, vp = camera_matrices(camera)
+    clip_mats = jnp.einsum("ij,njk->nik", vp, model, precision="highest")
+    return vp, clip_mats

@@ -17,11 +17,12 @@ def box(size=1.0) -> HostMesh:
     """Unit cube with per-face normals/uvs (24 verts, 12 tris) — the glTF Box."""
     s = float(size) / 2.0
     # +X -X +Y -Y +Z -Z
+    # (u, v, n) with u x v == n so the emitted winding is CCW from outside
     face_axes = [
         (np.array([0, 0, -1]), np.array([0, 1, 0]), np.array([1, 0, 0])),
         (np.array([0, 0, 1]), np.array([0, 1, 0]), np.array([-1, 0, 0])),
-        (np.array([1, 0, 0]), np.array([0, 0, 1]), np.array([0, 1, 0])),
-        (np.array([1, 0, 0]), np.array([0, 0, -1]), np.array([0, -1, 0])),
+        (np.array([0, 0, 1]), np.array([1, 0, 0]), np.array([0, 1, 0])),
+        (np.array([0, 0, -1]), np.array([1, 0, 0]), np.array([0, -1, 0])),
         (np.array([1, 0, 0]), np.array([0, 1, 0]), np.array([0, 0, 1])),
         (np.array([-1, 0, 0]), np.array([0, 1, 0]), np.array([0, 0, -1])),
     ]
@@ -63,7 +64,8 @@ def plane(size=1.0, segments=1) -> HostMesh:
             b = a + 1
             c = a + n
             d = c + 1
-            idx += [[a, d, b], [a, c, d]]
+            # wound CCW seen from +Y (front face up)
+            idx += [[a, b, d], [a, d, c]]
     return HostMesh(
         positions=positions, normals=normals, uvs=uvs, tangents=tangents,
         indices=np.array(idx, np.int32),
@@ -127,7 +129,7 @@ def torus(major=0.7, minor=0.25, rings=24, sides=16) -> HostMesh:
             b = a + 1
             c = a + cols
             d = c + 1
-            idx += [[a, c, b], [b, c, d]]
+            idx += [[a, b, c], [b, d, c]]
     return HostMesh(
         positions=positions, normals=normals.astype(np.float32), uvs=uvs,
         indices=np.array(idx, np.int32),

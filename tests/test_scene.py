@@ -17,6 +17,28 @@ def test_primitives_shapes():
         np.testing.assert_allclose(lens, 1.0, atol=1e-4)
 
 
+def test_winding_matches_normals():
+    """Every primitive triangle's cross-product normal must agree with its
+    vertex normals (catches inverted winding, which backface culling would
+    silently hide)."""
+    for name, mesh in [
+        ("box", primitives.box()),
+        ("plane", primitives.plane(segments=3)),
+        ("sphere", primitives.uv_sphere()),
+        ("torus", primitives.torus()),
+    ]:
+        p = mesh.positions
+        idx = mesh.indices
+        fn = np.cross(p[idx[:, 1]] - p[idx[:, 0]], p[idx[:, 2]] - p[idx[:, 0]])
+        lens = np.linalg.norm(fn, axis=-1)
+        ok = lens > 1e-12
+        fn = fn[ok] / lens[ok, None]
+        vn = mesh.normals[idx[ok]].mean(axis=1)
+        vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-9)
+        dots = np.sum(fn * vn, axis=-1)
+        assert np.all(dots > 0), f"{name}: {np.mean(dots < 0):.2%} triangles inverted"
+
+
 def test_sphere_normals_point_outward():
     m = primitives.uv_sphere(radius=2.0)
     # for a sphere centered at origin, normal == normalize(position)

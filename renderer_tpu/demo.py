@@ -67,6 +67,8 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/render.png")
     ap.add_argument("--orbit", type=float, default=0.5, help="camera orbit angle (rad)")
     ap.add_argument("--frames", type=int, default=1, help="render N orbit frames (timing)")
+    ap.add_argument("--debug-aabbs", action="store_true", help="draw culling AABBs")
+    ap.add_argument("--freeze-culling", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -74,10 +76,17 @@ def main(argv=None):
 
     from renderer_tpu import mathx
     from renderer_tpu.mathx.camera import Camera
-    from renderer_tpu.passes.forward import render_forward
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
     from renderer_tpu.utils.image import srgb_encode, write_png
 
     scene = build_scene(args.scene)
+    renderer = Renderer(
+        scene,
+        PipelineConfig(width=args.size, height=args.size, tri_capacity=16384),
+    )
+    renderer.set_config(debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling)
+    renderer.config = renderer._pending_config  # apply immediately for the CLI
 
     def make_camera(angle):
         r = 4.0
@@ -89,24 +98,19 @@ def main(argv=None):
         return Camera.create(position=pos, rotation=rot, fov_y=0.9, near=0.1, far=100.0)
 
     t0 = time.time()
-    img, vis = render_forward(
-        scene, make_camera(args.orbit), width=args.size, height=args.size,
-        tri_capacity=16384,
-    )
-    img = jax.block_until_ready(img)
+    out = renderer.render(make_camera(args.orbit))
+    jax.block_until_ready(out["image"])
     print(f"first frame (incl. compile): {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
 
     if args.frames > 1:
         t0 = time.time()
         for k in range(args.frames):
-            img, vis = render_forward(
-                scene, make_camera(args.orbit + 0.02 * k),
-                width=args.size, height=args.size, tri_capacity=16384,
-            )
-        jax.block_until_ready(img)
+            out = renderer.render(make_camera(args.orbit + 0.02 * k))
+        jax.block_until_ready(out["image"])
         dt = (time.time() - t0) / args.frames
         print(f"steady-state: {dt * 1e3:.1f} ms/frame ({1.0 / dt:.1f} FPS)")
 
+    img, vis = out["image"], out["vis"]
     covered = float(np.mean(np.asarray(vis.tri_id) != -1))
     print(f"coverage: {covered:.1%}")
     write_png(args.out, srgb_encode(np.asarray(img)))

@@ -47,11 +47,15 @@ def rasterize(
     strip_rows: int = 64,
     tri_block: int = 128,
     cull_backface: bool = True,
+    count=None,
 ) -> VisibilityBuffer:
     """Rasterize a triangle soup.
 
     clip: (T, 3, 4) clip-space positions; valid: (T,) bool.
     T must be a multiple of tri_block; height a multiple of strip_rows.
+    count: optional traced scalar — when the soup is compacted
+    (ops/cull.compact_soup), bounds the triangle loop to ceil(count/block)
+    iterations so raster cost scales with visible geometry.
     """
     t_cap = clip.shape[0]
     tri_block = min(tri_block, t_cap)
@@ -60,6 +64,12 @@ def rasterize(
         strip_rows -= 1
     assert t_cap % tri_block == 0, (t_cap, tri_block)
     n_blocks = t_cap // tri_block
+    if count is not None:
+        n_blocks_live = jnp.minimum(
+            (count + tri_block - 1) // tri_block, n_blocks
+        ).astype(jnp.int32)
+    else:
+        n_blocks_live = n_blocks
     n_strips = height // strip_rows
     p = strip_rows * width
 
@@ -149,7 +159,7 @@ def rasterize(
             jnp.full((p,), NO_TRIANGLE, jnp.int32),
             jnp.zeros((3, p), jnp.float32),
         )
-        depth, best_id, best_bary = jax.lax.fori_loop(0, n_blocks, block_fn, init)
+        depth, best_id, best_bary = jax.lax.fori_loop(0, n_blocks_live, block_fn, init)
         return (
             depth.reshape(strip_rows, width),
             best_id.reshape(strip_rows, width),

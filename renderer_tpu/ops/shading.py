@@ -56,3 +56,23 @@ def shade_lambert(
     color = albedo * radiance + emissive
     bg = jnp.asarray(background, jnp.float32)
     return jnp.where(covered[..., None], color, bg)
+
+
+def shade_flat_instance(
+    vis: VisibilityBuffer,
+    soup: TriangleSoup,
+    background=(0.05, 0.05, 0.08),
+) -> jnp.ndarray:
+    """Flat per-instance debug colors (the debug_aabbs view,
+    ref: debug_aabb_renderer.rs constant-color boxes)."""
+    from renderer_tpu.ops.debug import instance_debug_colors
+
+    covered = vis.tri_id != NO_TRIANGLE
+    safe_id = jnp.maximum(vis.tri_id, 0)
+    inst = soup.instance[safe_id]
+    color = instance_debug_colors(inst)
+    # cheap shading cue: modulate by facing (bary-interpolated normal z)
+    n = interpolate(vis, soup.normal)
+    nz = jnp.abs(n[..., 1:2]) * 0.3 + 0.7
+    bg = jnp.asarray(background, jnp.float32)
+    return jnp.where(covered[..., None], color * nz, bg)

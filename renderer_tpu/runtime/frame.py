@@ -1,0 +1,95 @@
+"""The Renderer: per-frame driver around a frame graph.
+
+Responsibilities (and their reference counterparts):
+- plan selection + memoized compile per switch set
+  (setup_submissions' cached plan rebuild, renderer.rs:3368-3606);
+- one jax.jit program per plan, with the persistent-state pytree DONATED so
+  XLA reuses the same HBM buffers frame-over-frame (the DoubleBuffered /
+  frames-in-flight machinery, device/double_buffered.rs);
+- two-frame switch latching (FutureRuntimeConfiguration, ecs.rs:240-277):
+  switch edits land in `pending` and take effect next frame, so a frame
+  always executes a consistent configuration;
+- frame counters and simple timing stats (the imgui HUD data source).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Mapping, Optional
+
+import jax
+
+from renderer_tpu.graph.core import CompiledPlan, PlanCache
+from renderer_tpu.mathx.camera import Camera
+from renderer_tpu.passes.pipeline import PipelineConfig, build_forward_graph
+from renderer_tpu.scene.types import Scene
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """Runtime switches (ref: RuntimeConfiguration, ecs.rs:240-258)."""
+
+    freeze_culling: bool = False
+    debug_aabbs: bool = False
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: Scene,
+        cfg: Optional[PipelineConfig] = None,
+        graph=None,
+        outputs=("image", "vis"),
+    ):
+        self.cfg = cfg or PipelineConfig()
+        self.graph = graph or build_forward_graph(self.cfg)
+        self.plans = PlanCache(self.graph, outputs=outputs)
+        self.scene = scene
+        self.config = RuntimeConfig()
+        self._pending_config = RuntimeConfig()
+        self.state = self.plans.plan().initial_state()
+        self.frame_number = 1  # ref: frame_number starts at 1, renderer.rs:968
+        self._jitted: dict[tuple, object] = {}
+        self.stats = {"frames": 0, "last_ms": 0.0, "compiles": 0}
+
+    # -- configuration (two-frame latch) ------------------------------------
+    def set_config(self, **kwargs) -> None:
+        """Edit runtime switches; takes effect NEXT frame (ref two-frame
+        latch shift_runtime_config, ecs.rs:270-277)."""
+        for k, v in kwargs.items():
+            if not hasattr(self._pending_config, k):
+                raise AttributeError(f"unknown runtime switch {k!r}")
+            setattr(self._pending_config, k, bool(v))
+
+    def _jit_for(self, plan: CompiledPlan):
+        key = tuple(sorted(plan.switches.items()))
+        if key not in self._jitted:
+            def run(state, scene, camera):
+                return plan.execute(state, scene=scene, camera=camera)
+
+            self._jitted[key] = jax.jit(run, donate_argnums=0)
+            self.stats["compiles"] += 1
+        return self._jitted[key]
+
+    # -- frame ---------------------------------------------------------------
+    def render(self, camera: Camera, scene: Optional[Scene] = None):
+        """Render one frame; returns the outputs dict (device arrays)."""
+        if scene is not None:
+            self.scene = scene
+        plan = self.plans.plan(self.config.as_dict())
+        fn = self._jit_for(plan)
+        t0 = time.perf_counter()
+        outputs, self.state = fn(self.state, self.scene, camera)
+        self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
+        self.stats["frames"] += 1
+        self.frame_number += 1
+        # latch pending config for the next frame
+        self.config = dataclasses.replace(self._pending_config)
+        return outputs
+
+    def block(self, outputs) -> None:
+        jax.block_until_ready(outputs)

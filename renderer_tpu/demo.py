@@ -69,6 +69,7 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=1, help="render N orbit frames (timing)")
     ap.add_argument("--debug-aabbs", action="store_true", help="draw culling AABBs")
     ap.add_argument("--freeze-culling", action="store_true")
+    ap.add_argument("--pallas", action="store_true", help="use the Pallas tile rasterizer")
     args = ap.parse_args(argv)
 
     import jax
@@ -83,7 +84,10 @@ def main(argv=None):
     scene = build_scene(args.scene)
     renderer = Renderer(
         scene,
-        PipelineConfig(width=args.size, height=args.size, tri_capacity=16384),
+        PipelineConfig(
+            width=args.size, height=args.size, tri_capacity=16384,
+            use_pallas=args.pallas,
+        ),
     )
     renderer.set_config(debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling)
     renderer.config = renderer._pending_config  # apply immediately for the CLI

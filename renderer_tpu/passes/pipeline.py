@@ -29,9 +29,18 @@ class PipelineConfig:
     tri_capacity: int = 16384
     cull_backface: bool = True
     background: tuple = (0.05, 0.05, 0.08)
+    # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
+    # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # CPU-mesh tests / dryruns
 
     def __post_init__(self):
         assert self.tri_capacity % 128 == 0, "tri_capacity must be 128-aligned"
+        if self.use_pallas:
+            assert self.width % 128 == 0 and self.height % 16 == 0, (
+                "pallas raster needs width%128==0, height%16==0"
+            )
+            assert self.tri_capacity % 256 == 0
 
 
 def empty_soup(capacity: int) -> TriangleSoup:
@@ -100,8 +109,19 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     @g.pass_("raster", reads=["soup"], writes=["vis"])
     def raster(soup):
-        return {
-            "vis": rasterize(
+        if cfg.use_pallas:
+            from renderer_tpu.ops.raster_pallas import rasterize_pallas
+
+            vis = rasterize_pallas(
+                soup.clip,
+                soup.valid,
+                cfg.width,
+                cfg.height,
+                cull_backface=cfg.cull_backface,
+                interpret=cfg.pallas_interpret,
+            )
+        else:
+            vis = rasterize(
                 soup.clip,
                 soup.valid,
                 cfg.width,
@@ -109,7 +129,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 cull_backface=cfg.cull_backface,
                 count=soup.count,
             )
-        }
+        return {"vis": vis}
 
     @g.pass_(
         "shade",

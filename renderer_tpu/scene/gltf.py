@@ -1,0 +1,408 @@
+"""glTF 2.0 / GLB loader and writer (numpy, no external gltf libs).
+
+The reference consumes glTF scenes (gltf_mesh_io.rs load_gltf + the async
+scene_loader.rs) with POSITION/NORMAL/TEXCOORD_0/TANGENT attributes, indices,
+and pbrMetallicRoughness materials. This module reads the same subset from
+.gltf/.glb files into SceneBuilder, and writes .glb so tests can round-trip
+procedural scenes through the real container format (the sample-model assets
+are not vendored in this environment).
+
+Conventions: glTF is right-handed y-up with CCW front faces — identical to
+renderer_tpu's (ops/raster_spec.py), so no axis surgery. glTF quaternions are
+(x, y, z, w); ours are (w, x, y, z).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import struct
+from typing import Optional
+
+import numpy as np
+
+from renderer_tpu.scene.builder import HostMesh, SceneBuilder
+
+_GLB_MAGIC = 0x46546C67  # 'glTF'
+_CHUNK_JSON = 0x4E4F534A
+_CHUNK_BIN = 0x004E4942
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+def _read_container(path: str):
+    """Returns (gltf json dict, list of binary buffers)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) >= 12 and struct.unpack_from("<I", data, 0)[0] == _GLB_MAGIC:
+        _, version, _ = struct.unpack_from("<III", data, 0)
+        if version != 2:
+            raise ValueError(f"unsupported GLB version {version}")
+        off = 12
+        doc = None
+        bin_chunk = None
+        while off < len(data):
+            clen, ctype = struct.unpack_from("<II", data, off)
+            off += 8
+            chunk = data[off : off + clen]
+            off += clen
+            if ctype == _CHUNK_JSON:
+                doc = json.loads(chunk.decode("utf-8"))
+            elif ctype == _CHUNK_BIN:
+                bin_chunk = chunk
+        if doc is None:
+            raise ValueError("GLB missing JSON chunk")
+    else:
+        doc = json.loads(data.decode("utf-8"))
+        bin_chunk = None
+
+    buffers = []
+    import os
+
+    base = os.path.dirname(path)
+    for buf in doc.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            if bin_chunk is None:
+                raise ValueError("buffer without uri and no GLB BIN chunk")
+            buffers.append(bin_chunk)
+        elif uri.startswith("data:"):
+            b64 = uri.split(",", 1)[1]
+            buffers.append(base64.b64decode(b64))
+        else:
+            with open(os.path.join(base, uri), "rb") as f:
+                buffers.append(f.read())
+    return doc, buffers
+
+
+def _read_accessor(doc, buffers, idx) -> np.ndarray:
+    acc = doc["accessors"][idx]
+    n = acc["count"]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    itemsize = np.dtype(dtype).itemsize * ncomp
+
+    if "bufferView" not in acc:
+        out = np.zeros((n, ncomp), dtype)
+    else:
+        bv = doc["bufferViews"][acc["bufferView"]]
+        buf = buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride") or itemsize
+        if stride == itemsize:
+            out = np.frombuffer(
+                buf, dtype=dtype, count=n * ncomp, offset=start
+            ).reshape(n, ncomp)
+        else:
+            raw = np.frombuffer(buf, np.uint8)
+            rows = [
+                np.frombuffer(raw, dtype, ncomp, start + i * stride) for i in range(n)
+            ]
+            out = np.stack(rows)
+    if acc.get("normalized") and dtype != np.float32:
+        out = out.astype(np.float32) / np.iinfo(dtype).max
+    return out.copy()
+
+
+def _node_matrix(node) -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float64).reshape(4, 4).T  # column major
+    m = np.eye(4)
+    if "scale" in node:
+        m = m @ np.diag(list(node["scale"]) + [1.0])
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        rm = np.eye(4)
+        rm[:3, :3] = r
+        m = rm @ m
+    if "translation" in node:
+        tm = np.eye(4)
+        tm[:3, 3] = node["translation"]
+        m = tm @ m
+    return m
+
+
+def _decompose_trs(m: np.ndarray):
+    """4x4 -> (translation, quat (w,x,y,z), uniform scale). Assumes no shear;
+    anisotropic scale is averaged (SceneBuilder instances are uniform-scale,
+    like the reference's Scale component)."""
+    t = m[:3, 3].copy()
+    lin = m[:3, :3]
+    scales = np.linalg.norm(lin, axis=0)
+    s = float(np.mean(scales))
+    r = lin / np.where(scales == 0, 1.0, scales)[None, :]
+    # handle reflection
+    if np.linalg.det(r) < 0:
+        r = -r
+        s = -s
+    tr = np.trace(r)
+    if tr > 0:
+        q0 = np.sqrt(1 + tr) / 2
+        w = q0
+        x = (r[2, 1] - r[1, 2]) / (4 * q0)
+        y = (r[0, 2] - r[2, 0]) / (4 * q0)
+        z = (r[1, 0] - r[0, 1]) / (4 * q0)
+    else:
+        i = int(np.argmax(np.diag(r)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        qi = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1, 0)) / 2
+        qj = (r[j, i] + r[i, j]) / (4 * qi)
+        qk = (r[k, i] + r[i, k]) / (4 * qi)
+        w = (r[k, j] - r[j, k]) / (4 * qi)
+        q = np.zeros(3)
+        q[i], q[j], q[k] = qi, qj, qk
+        x, y, z = q
+    quat = np.array([w, x, y, z], np.float32)
+    quat /= np.linalg.norm(quat)
+    return t.astype(np.float32), quat, s
+
+
+def load_gltf(
+    path: str,
+    builder: Optional[SceneBuilder] = None,
+    load_textures: bool = True,
+    default_material: bool = True,
+) -> SceneBuilder:
+    """Load a .gltf/.glb file into a SceneBuilder (meshes, materials,
+    instances from the default scene's node hierarchy)."""
+    from renderer_tpu.scene.textures import TextureAtlasBuilder  # lazy
+
+    doc, buffers = _read_container(path)
+    b = builder or SceneBuilder()
+
+    # textures -> atlas layers
+    tex_layer: dict[int, int] = {}
+    atlas = getattr(b, "atlas", None)
+    if load_textures and doc.get("images") and atlas is not None:
+        for ti, tex in enumerate(doc.get("textures", [])):
+            img_idx = tex.get("source")
+            if img_idx is None:
+                continue
+            img = doc["images"][img_idx]
+            try:
+                from PIL import Image
+
+                if "bufferView" in img:
+                    bv = doc["bufferViews"][img["bufferView"]]
+                    raw = buffers[bv["buffer"]][
+                        bv.get("byteOffset", 0) : bv.get("byteOffset", 0) + bv["byteLength"]
+                    ]
+                    pil = Image.open(io.BytesIO(raw))
+                elif "uri" in img and img["uri"].startswith("data:"):
+                    raw = base64.b64decode(img["uri"].split(",", 1)[1])
+                    pil = Image.open(io.BytesIO(raw))
+                else:
+                    import os
+
+                    pil = Image.open(os.path.join(os.path.dirname(path), img["uri"]))
+                arr = np.asarray(pil.convert("RGBA"))
+                tex_layer[ti] = atlas.add(arr)
+            except Exception:
+                tex_layer[ti] = -1
+
+    # materials
+    mat_ids = []
+    for mat in doc.get("materials", []):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        bc = pbr.get("baseColorFactor", [1, 1, 1, 1])
+        bct = pbr.get("baseColorTexture", {}).get("index", -1)
+        nt = mat.get("normalTexture", {}).get("index", -1)
+        mat_ids.append(
+            b.add_material(
+                base_color=bc,
+                metallic=pbr.get("metallicFactor", 1.0),
+                roughness=pbr.get("roughnessFactor", 1.0),
+                emissive=mat.get("emissiveFactor", [0, 0, 0]),
+                base_color_tex=tex_layer.get(bct, -1),
+                normal_tex=tex_layer.get(nt, -1),
+            )
+        )
+    if not mat_ids and default_material:
+        mat_ids = [b.add_material()]
+
+    # meshes: one HostMesh per primitive; mesh index -> list of (mesh_id, mat)
+    prim_table: list[list] = []
+    for mesh in doc.get("meshes", []):
+        prims = []
+        for prim in mesh["primitives"]:
+            attrs = prim["attributes"]
+            pos = _read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+            nrm = (
+                _read_accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+                if "NORMAL" in attrs
+                else None
+            )
+            uv = (
+                _read_accessor(doc, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                if "TEXCOORD_0" in attrs
+                else None
+            )
+            tan = (
+                _read_accessor(doc, buffers, attrs["TANGENT"]).astype(np.float32)
+                if "TANGENT" in attrs
+                else None
+            )
+            if "indices" in prim:
+                idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1).astype(np.int32)
+            else:
+                idx = np.arange(len(pos), dtype=np.int32)
+            hm = HostMesh(
+                positions=pos, indices=idx.reshape(-1, 3), normals=nrm, uvs=uv, tangents=tan
+            )
+            mat = prim.get("material")
+            mid = mat_ids[mat] if mat is not None and mat < len(mat_ids) else (
+                mat_ids[0] if mat_ids else 0
+            )
+            prims.append((b.add_mesh(hm), mid))
+        prim_table.append(prims)
+
+    # scene graph -> flattened instances
+    scene_idx = doc.get("scene", 0)
+    scenes = doc.get("scenes", [])
+    roots = scenes[scene_idx]["nodes"] if scenes else range(len(doc.get("nodes", [])))
+    nodes = doc.get("nodes", [])
+
+    def visit(node_idx, parent):
+        node = nodes[node_idx]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            t, q, s = _decompose_trs(world)
+            for mesh_id, mat in prim_table[node["mesh"]]:
+                b.add_instance(mesh_id, mat, translation=t, rotation=q, scale=s)
+        for child in node.get("children", []):
+            visit(child, world)
+
+    for r in roots:
+        visit(r, np.eye(4))
+    return b
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def write_glb(
+    path: str,
+    meshes: list,
+    instances: Optional[list] = None,
+    materials: Optional[list] = None,
+) -> None:
+    """Write a .glb: meshes = [HostMesh], instances = [(mesh_idx, mat_idx,
+    translation, rotation (w,x,y,z), scale)], materials = [dict(base_color,
+    metallic, roughness)]. Minimal but spec-conformant."""
+    blob = bytearray()
+    buffer_views = []
+    accessors = []
+
+    def add_data(arr: np.ndarray, target=None):
+        arr = np.ascontiguousarray(arr)
+        while len(blob) % 4:
+            blob.append(0)
+        off = len(blob)
+        blob.extend(arr.tobytes())
+        bv = {"buffer": 0, "byteOffset": off, "byteLength": arr.nbytes}
+        if target:
+            bv["target"] = target
+        buffer_views.append(bv)
+        return len(buffer_views) - 1
+
+    def add_accessor(arr, comp_type, type_str, target=None, minmax=False):
+        bv = add_data(arr, target)
+        acc = {
+            "bufferView": bv,
+            "componentType": comp_type,
+            "count": len(arr),
+            "type": type_str,
+        }
+        if minmax:
+            acc["min"] = np.asarray(arr).min(axis=0).tolist()
+            acc["max"] = np.asarray(arr).max(axis=0).tolist()
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    gltf_meshes = []
+    for m in meshes:
+        attrs = {
+            "POSITION": add_accessor(m.positions.astype(np.float32), 5126, "VEC3", 34962, True),
+            "NORMAL": add_accessor(m.normals.astype(np.float32), 5126, "VEC3", 34962),
+            "TEXCOORD_0": add_accessor(m.uvs.astype(np.float32), 5126, "VEC2", 34962),
+            "TANGENT": add_accessor(m.tangents.astype(np.float32), 5126, "VEC4", 34962),
+        }
+        idx = add_accessor(
+            m.indices.reshape(-1, 1).astype(np.uint32), 5125, "SCALAR", 34963
+        )
+        prim = {"attributes": attrs, "indices": idx, "mode": 4}
+        gltf_meshes.append({"primitives": [prim]})
+
+    gltf_materials = []
+    for mat in materials or []:
+        gltf_materials.append(
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": list(map(float, mat.get("base_color", (1, 1, 1, 1)))),
+                    "metallicFactor": float(mat.get("metallic", 0.0)),
+                    "roughnessFactor": float(mat.get("roughness", 0.8)),
+                }
+            }
+        )
+
+    gltf_nodes = []
+    for inst in instances or [(i, 0, (0, 0, 0), (1, 0, 0, 0), 1.0) for i in range(len(meshes))]:
+        mesh_idx, mat_idx, t, q, s = inst
+        if gltf_materials:
+            gltf_meshes[mesh_idx]["primitives"][0]["material"] = mat_idx
+        w, x, y, z = q
+        gltf_nodes.append(
+            {
+                "mesh": mesh_idx,
+                "translation": list(map(float, t)),
+                "rotation": [float(x), float(y), float(z), float(w)],  # xyzw
+                "scale": [float(s)] * 3,
+            }
+        )
+
+    doc = {
+        "asset": {"version": "2.0", "generator": "renderer_tpu"},
+        "buffers": [{"byteLength": len(blob)}],
+        "bufferViews": buffer_views,
+        "accessors": accessors,
+        "meshes": gltf_meshes,
+        "nodes": gltf_nodes,
+        "scenes": [{"nodes": list(range(len(gltf_nodes)))}],
+        "scene": 0,
+    }
+    if gltf_materials:
+        doc["materials"] = gltf_materials
+
+    js = json.dumps(doc).encode("utf-8")
+    while len(js) % 4:
+        js += b" "
+    while len(blob) % 4:
+        blob.append(0)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", _GLB_MAGIC, 2, total))
+        f.write(struct.pack("<II", len(js), _CHUNK_JSON))
+        f.write(js)
+        f.write(struct.pack("<II", len(blob), _CHUNK_BIN))
+        f.write(bytes(blob))

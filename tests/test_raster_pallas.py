@@ -1,0 +1,99 @@
+"""Pallas tile rasterizer goldens vs the plain-JAX rasterizer (which is
+itself golden-tested against the numpy reference). Runs in interpret mode on
+CPU; real-TPU runs are exercised by the demo/bench."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from renderer_tpu import mathx
+from renderer_tpu.mathx.camera import Camera, camera_matrices
+from renderer_tpu.ops.raster_jax import rasterize
+from renderer_tpu.ops.raster_pallas import rasterize_pallas
+from renderer_tpu.ops.raster_spec import NO_TRIANGLE
+from renderer_tpu.scene import primitives
+
+
+def soup_from_meshes(meshes_and_mats, pad_to=256):
+    clips = []
+    for mesh, model in meshes_and_mats:
+        h = np.concatenate([mesh.positions, np.ones((len(mesh.positions), 1))], axis=1)
+        clips.append((h @ np.asarray(model).T)[mesh.indices])
+    clip = np.concatenate(clips).astype(np.float32)
+    t = len(clip)
+    pad = (-t) % pad_to
+    clip = np.concatenate([clip, np.zeros((pad, 3, 4), np.float32)])
+    valid = np.concatenate([np.ones(t, bool), np.zeros(pad, bool)])
+    return jnp.asarray(clip), jnp.asarray(valid)
+
+
+def compare(mesh_list, cam, width=128, height=64, cull=True):
+    _, _, vp = camera_matrices(cam)
+    clip, valid = soup_from_meshes([(m, vp) for m in mesh_list])
+    got = rasterize_pallas(clip, valid, width, height, cull_backface=cull, interpret=True)
+    want = rasterize(clip, valid, width, height, cull_backface=cull)
+    id_mismatch = (np.asarray(got.tri_id) != np.asarray(want.tri_id)).mean()
+    assert id_mismatch == 0.0, f"tri_id mismatch {id_mismatch:.4%}"
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(want.depth), atol=1e-5)
+    # bary diverges most on sliver edges (different FMA association); <2e-3
+    np.testing.assert_allclose(np.asarray(got.bary), np.asarray(want.bary), atol=2e-3)
+    return got
+
+
+def test_box_exact_match():
+    cam = Camera.create(position=jnp.array([1.2, 1.0, 2.5]), near=0.1, far=20.0, aspect=2.0)
+    out = compare([primitives.box()], cam)
+    assert (np.asarray(out.tri_id) != NO_TRIANGLE).sum() > 100
+
+
+def test_sphere_and_torus():
+    cam = Camera.create(position=jnp.array([0.0, 0.4, 2.4]), near=0.1, far=20.0, aspect=2.0)
+    out = compare(
+        [primitives.uv_sphere(rings=10, sectors=14), primitives.torus()], cam
+    )
+    assert (np.asarray(out.tri_id) != NO_TRIANGLE).sum() > 300
+
+
+def test_two_sided():
+    cam = Camera.create(position=jnp.array([0.0, 1.2, 2.0]), near=0.1, far=20.0, aspect=2.0)
+    cam = cam._replace(rotation=mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -0.5))
+    compare([primitives.torus()], cam, cull=False)
+
+
+def test_near_crossing():
+    cam = Camera.create(position=jnp.array([0.05, 0.0, 0.1]), near=0.05, far=50.0, aspect=2.0)
+    compare([primitives.box(size=4.0)], cam, cull=False)
+
+
+def test_empty():
+    clip = jnp.zeros((256, 3, 4), jnp.float32)
+    valid = jnp.zeros((256,), bool)
+    out = rasterize_pallas(clip, valid, 128, 32, interpret=True)
+    assert np.all(np.asarray(out.tri_id) == NO_TRIANGLE)
+    assert np.all(np.asarray(out.depth) == 1.0)
+
+
+def test_multi_block_many_triangles():
+    """>BLOCK triangles exercising multiple DMA blocks and binning."""
+    rng = np.random.default_rng(7)
+    n = 700  # spans 3 blocks after padding to 768
+    centers = rng.uniform(-0.9, 0.9, size=(n, 2))
+    z = rng.uniform(0.1, 0.9, size=n)
+    tris = []
+    for k in range(n):
+        cx, cy = centers[k]
+        r = 0.05
+        tris.append(
+            [
+                [cx - r, cy - r, z[k], 1],
+                [cx + r, cy - r, z[k], 1],
+                [cx, cy + r, z[k], 1],
+            ]
+        )
+    clip = np.asarray(tris, np.float32)
+    pad = (-n) % 256
+    clip = np.concatenate([clip, np.zeros((pad, 3, 4), np.float32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    got = rasterize_pallas(jnp.asarray(clip), jnp.asarray(valid), 128, 64, interpret=True)
+    want = rasterize(jnp.asarray(clip), jnp.asarray(valid), 128, 64)
+    assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all()
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(want.depth), atol=1e-6)

@@ -53,8 +53,23 @@ def build_scene(name: str):
         b.add_instance(box, b.add_material(base_color=(0.8, 0.3, 0.2, 1)), translation=(-1.4, 0, 0))
         b.add_instance(sph, b.add_material(base_color=(0.2, 0.5, 0.9, 1)), translation=(0, 0, 0), scale=0.8)
         b.add_instance(tor, b.add_material(base_color=(0.3, 0.8, 0.3, 1)), translation=(1.5, -0.2, 0), scale=0.7)
+    elif name == "textured":
+        plane = b.add_mesh(primitives.plane(size=16.0))
+        sph = b.add_mesh(primitives.uv_sphere(rings=24, sectors=48))
+        box = b.add_mesh(primitives.box())
+        checker = b.add_texture(primitives.checkerboard_texture(256, squares=16))
+        checker2 = b.add_texture(
+            primitives.checkerboard_texture(256, squares=6, c0=(230, 120, 60), c1=(250, 235, 220))
+        )
+        floor = b.add_material(base_color=(1, 1, 1, 1), roughness=0.6, base_color_tex=checker)
+        shiny = b.add_material(base_color=(1, 1, 1, 1), roughness=0.25, metallic=0.1, base_color_tex=checker2)
+        metal = b.add_material(base_color=(0.95, 0.64, 0.54, 1), roughness=0.3, metallic=1.0)
+        b.add_instance(plane, floor, translation=(0, -0.6, 0))
+        b.add_instance(sph, shiny, translation=(-0.9, 0, 0), scale=1.1)
+        b.add_instance(sph, metal, translation=(0.9, 0, 0), scale=1.1)
+        b.add_instance(box, shiny, translation=(0, -0.1, -1.6))
     else:
-        raise SystemExit(f"unknown scene {name!r} (try: box, spheres, mixed)")
+        raise SystemExit(f"unknown scene {name!r} (try: box, spheres, mixed, textured)")
     b.add_light(position=(3.0, 5.0, 4.0), intensity=30.0)
     b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35)
     return b.build()

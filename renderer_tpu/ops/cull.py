@@ -33,17 +33,10 @@ def compact_soup(soup: TriangleSoup) -> TriangleSoup:
         out = jnp.zeros_like(x)
         return out.at[dest].set(x, mode="drop")
 
-    new_valid = (
-        jnp.arange(capacity, dtype=jnp.int32)
-        < count
-    )
-    return TriangleSoup(
-        clip=scatter(soup.clip),
-        world=scatter(soup.world),
-        normal=scatter(soup.normal),
-        uv=scatter(soup.uv),
-        tangent=scatter(soup.tangent),
-        instance=scatter(soup.instance),
-        valid=new_valid,
-        count=count,
-    )
+    new_valid = jnp.arange(capacity, dtype=jnp.int32) < count
+    fields = {
+        name: scatter(getattr(soup, name))
+        for name in soup._fields
+        if name not in ("valid", "count")
+    }
+    return TriangleSoup(valid=new_valid, count=count, **fields)

@@ -78,6 +78,7 @@ def aabb_soup(
         instance=owner,
         valid=valid_full,
         count=jnp.sum(visible.astype(jnp.int32)) * 12,
+        tex_lod=jnp.zeros((t_total,), jnp.float32),
     )
     # clamp/pad to capacity
     if t_total >= capacity:

@@ -45,6 +45,10 @@ class TriangleSoup(NamedTuple):
     instance: jnp.ndarray
     valid: jnp.ndarray
     count: jnp.ndarray
+    # (T,) f32 per-triangle base texture LOD: 0.5*log2(uv texel area /
+    # screen pixel area) at the atlas's base resolution. A per-triangle
+    # constant is the deferred-shading stand-in for screen-space derivatives.
+    tex_lod: jnp.ndarray
 
 
 def instance_matrices(scene: Scene) -> jnp.ndarray:
@@ -147,7 +151,34 @@ def expand_draw_stream(
         instance=owner,
         valid=valid,
         count=jnp.minimum(total, capacity).astype(jnp.int32),
+        tex_lod=jnp.zeros((capacity,), jnp.float32),  # filled by finalize_tex_lod
     )
+
+
+def finalize_tex_lod(soup: TriangleSoup, width: int, height: int, atlas_size: int) -> TriangleSoup:
+    """Per-triangle texture LOD = 0.5*log2(uv area in texels / screen area in
+    pixels). Triangles crossing w=0 get LOD 0 (conservative sharp)."""
+    clip = soup.clip
+    w = clip[..., 3]
+    ok = jnp.all(w > 1e-9, axis=-1)
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    px = (clip[..., 0] / safe_w + 1.0) * (0.5 * width)
+    py = (1.0 - clip[..., 1] / safe_w) * (0.5 * height)
+
+    def tri_area2(x, y):
+        return jnp.abs(
+            (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+            - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0])
+        )
+
+    a_px = tri_area2(px, py)
+    u = soup.uv[..., 0] * atlas_size
+    v = soup.uv[..., 1] * atlas_size
+    a_uv = tri_area2(u, v)
+    ratio = a_uv / jnp.maximum(a_px, 1e-12)
+    lod = 0.5 * jnp.log2(jnp.maximum(ratio, 1e-12))
+    lod = jnp.where(ok, jnp.maximum(lod, 0.0), 0.0)
+    return soup._replace(tex_lod=lod)
 
 
 def pixel_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:

@@ -29,6 +29,7 @@ class PipelineConfig:
     tri_capacity: int = 16384
     cull_backface: bool = True
     background: tuple = (0.05, 0.05, 0.08)
+    shading: str = "pbr"  # "pbr" (GGX metallic-roughness) | "lambert"
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -53,6 +54,7 @@ def empty_soup(capacity: int) -> TriangleSoup:
         instance=jnp.zeros((capacity,), jnp.int32),
         valid=jnp.zeros((capacity,), bool),
         count=jnp.zeros((), jnp.int32),
+        tex_lod=jnp.zeros((capacity,), jnp.float32),
     )
 
 
@@ -93,7 +95,11 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             scene, visible, lod, clip_mats, model, cfg.tri_capacity
         )
         soup = geometry.cull_triangles(soup, cull_backface=cfg.cull_backface)
-        return {"soup": compact_soup(soup)}
+        soup = compact_soup(soup)
+        soup = geometry.finalize_tex_lod(
+            soup, cfg.width, cfg.height, scene.atlas.level_size[0]
+        )
+        return {"soup": soup}
 
     @g.pass_(
         "aabb_soup",
@@ -138,11 +144,17 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         condition="!debug_aabbs",
     )
     def shade(vis, soup, scene, camera):
-        return {
-            "image": shading.shade_lambert(
+        if cfg.shading == "pbr":
+            from renderer_tpu.ops.pbr import shade_pbr
+
+            img = shade_pbr(
                 vis, soup, scene, camera.position, background=cfg.background
             )
-        }
+        else:
+            img = shading.shade_lambert(
+                vis, soup, scene, camera.position, background=cfg.background
+            )
+        return {"image": img}
 
     @g.pass_(
         "shade_debug",

@@ -62,12 +62,19 @@ def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.nda
 
 
 class SceneBuilder:
-    def __init__(self, limits: SceneLimits = SceneLimits()):
+    def __init__(self, limits: SceneLimits = SceneLimits(), atlas_size: int = 256):
+        from renderer_tpu.scene.textures import TextureAtlasBuilder
+
         self.limits = limits
+        self.atlas = TextureAtlasBuilder(size=atlas_size, max_layers=limits.max_textures)
         self._meshes: list[HostMesh] = []
         self._materials: list[dict] = []
         self._instances: list[dict] = []
         self._lights: list[dict] = []
+
+    def add_texture(self, img) -> int:
+        """Add a texture image; returns atlas layer id for material fields."""
+        return self.atlas.add(img)
 
     # -- meshes ------------------------------------------------------------
     def add_mesh(self, mesh: HostMesh) -> int:
@@ -219,4 +226,7 @@ class SceneBuilder:
         lts["count"] = np.int32(len(self._lights))
         lights = Lights(**{k: jnp.asarray(v) for k, v in lts.items()})
 
-        return Scene(meshes=meshes, instances=instances, materials=materials, lights=lights)
+        return Scene(
+            meshes=meshes, instances=instances, materials=materials, lights=lights,
+            atlas=self.atlas.build(),
+        )

@@ -188,14 +188,18 @@ class Scene(NamedTuple):
     instances: Instances
     materials: Materials
     lights: Lights
+    atlas: "TextureAtlas"  # packed mip pyramid (scene/textures.py)
 
     @staticmethod
     def empty(limits: SceneLimits) -> "Scene":
+        from renderer_tpu.scene.textures import empty_atlas
+
         return Scene(
             meshes=MeshLibrary.empty(limits),
             instances=Instances.empty(limits),
             materials=Materials.empty(limits),
             lights=Lights.empty(limits),
+            atlas=empty_atlas(),
         )
 
 

@@ -1,0 +1,129 @@
+"""glTF writer/loader round-trip tests (the asset pipeline)."""
+
+import numpy as np
+
+from renderer_tpu import mathx
+from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+from renderer_tpu.scene.gltf import load_gltf, write_glb
+
+
+def test_glb_roundtrip_geometry(tmp_path):
+    mesh = primitives.uv_sphere(rings=6, sectors=8)
+    path = str(tmp_path / "sphere.glb")
+    write_glb(path, [mesh])
+    b = load_gltf(path, SceneBuilder(SceneLimits.tiny()))
+    assert len(b._meshes) == 1
+    got = b._meshes[0]
+    np.testing.assert_allclose(got.positions, mesh.positions, atol=1e-6)
+    np.testing.assert_array_equal(got.indices, mesh.indices)
+    np.testing.assert_allclose(got.normals, mesh.normals, atol=1e-6)
+    np.testing.assert_allclose(got.uvs, mesh.uvs, atol=1e-6)
+
+
+def test_glb_roundtrip_instances_and_materials(tmp_path):
+    import jax.numpy as jnp
+
+    box = primitives.box()
+    q = np.asarray(mathx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), 0.7))
+    path = str(tmp_path / "scene.glb")
+    write_glb(
+        path,
+        [box],
+        instances=[(0, 0, (1.0, 2.0, 3.0), tuple(q), 2.0)],
+        materials=[dict(base_color=(0.8, 0.1, 0.2, 1.0), metallic=0.3, roughness=0.6)],
+    )
+    b = load_gltf(path, SceneBuilder(SceneLimits.tiny()))
+    assert len(b._instances) == 1
+    inst = b._instances[0]
+    np.testing.assert_allclose(inst["translation"], [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(abs(float(np.dot(inst["rotation"], q))), 1.0, atol=1e-5)
+    np.testing.assert_allclose(inst["scale"], 2.0, atol=1e-5)
+    mat = b._materials[0]
+    np.testing.assert_allclose(mat["base_color"], [0.8, 0.1, 0.2, 1.0], atol=1e-6)
+    np.testing.assert_allclose(mat["metallic"], 0.3, atol=1e-6)
+    np.testing.assert_allclose(mat["roughness"], 0.6, atol=1e-6)
+
+
+def test_loaded_scene_renders(tmp_path):
+    """Full path: procedural -> .glb -> loader -> Renderer -> image."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+
+    path = str(tmp_path / "t.glb")
+    write_glb(
+        path,
+        [primitives.box(), primitives.uv_sphere(rings=6, sectors=8)],
+        instances=[
+            (0, 0, (-0.8, 0, 0), (1, 0, 0, 0), 1.0),
+            (1, 1, (0.8, 0, 0), (1, 0, 0, 0), 1.0),
+        ],
+        materials=[
+            dict(base_color=(1, 0, 0, 1)),
+            dict(base_color=(0, 0, 1, 1)),
+        ],
+    )
+    b = load_gltf(path, SceneBuilder(SceneLimits.tiny()))
+    b.add_light(position=(2, 3, 4), intensity=20.0)
+    scene = b.build()
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=256))
+    img = np.asarray(r.render(Camera.create(position=jnp.array([0.0, 0.5, 3.0])))["image"])
+    assert np.isfinite(img).all()
+    # red thing on the left, blue thing on the right
+    left = img[:, :32].reshape(-1, 3)
+    right = img[:, 32:].reshape(-1, 3)
+    assert left[:, 0].max() > 0.15 and right[:, 2].max() > 0.15
+
+
+def test_node_hierarchy_and_matrix(tmp_path):
+    """Hand-written glTF JSON with nested nodes and a matrix node."""
+    import json, base64, struct
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    idx = box.indices.astype(np.uint32).reshape(-1, 1)
+    blob = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [
+            {
+                "byteLength": len(blob),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode(),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": idx.nbytes},
+        ],
+        "accessors": [
+            {
+                "bufferView": 0, "componentType": 5126, "count": len(pos),
+                "type": "VEC3",
+                "min": pos.min(0).tolist(), "max": pos.max(0).tolist(),
+            },
+            {"bufferView": 1, "componentType": 5125, "count": len(idx), "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "nodes": [
+            {"children": [1], "translation": [5, 0, 0]},
+            {
+                "mesh": 0,
+                # scale by 2 then translate (0, 1, 0), column-major
+                "matrix": [2, 0, 0, 0, 0, 2, 0, 0, 0, 0, 2, 0, 0, 1, 0, 1],
+            },
+        ],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    path = tmp_path / "h.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+    assert len(b._instances) == 1
+    inst = b._instances[0]
+    np.testing.assert_allclose(inst["translation"], [5, 1, 0], atol=1e-5)
+    np.testing.assert_allclose(inst["scale"], 2.0, atol=1e-5)
+    # normals were generated for the position-only mesh
+    assert np.isfinite(b._meshes[0].normals).all()

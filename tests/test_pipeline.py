@@ -25,7 +25,9 @@ def cam(x=0.0):
     return Camera.create(position=jnp.array([x, 0.5, 3.0]), near=0.1, far=50.0)
 
 
-CFG = PipelineConfig(width=64, height=64, tri_capacity=256)
+# lambert: graph-semantics tests want camera-independent shading so a frozen
+# soup renders bit-identically under a moved camera
+CFG = PipelineConfig(width=64, height=64, tri_capacity=256, shading="lambert")
 
 
 def test_renderer_basic_frame():

@@ -1,0 +1,96 @@
+"""Texture atlas + sampler tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from renderer_tpu.ops.texture import sample_atlas, srgb_to_linear
+from renderer_tpu.scene.textures import TextureAtlasBuilder, build_mips
+
+
+def test_mip_chain():
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:, :4] = [255, 0, 0, 255]
+    img[:, 4:] = [0, 0, 255, 255]
+    mips = build_mips(img)
+    assert [m.shape[0] for m in mips] == [8, 4, 2, 1]
+    # last mip = average color
+    np.testing.assert_allclose(mips[-1][0, 0], [128, 0, 128, 255], atol=1)
+
+
+def test_atlas_layout_and_fetch():
+    b = TextureAtlasBuilder(size=8)
+    solid = np.full((8, 8, 4), [10, 20, 30, 255], np.uint8)
+    grad = np.zeros((8, 8, 4), np.uint8)
+    grad[..., 0] = np.arange(8)[None, :] * 32  # x gradient in red
+    grad[..., 3] = 255
+    l0 = b.add(solid)
+    l1 = b.add(grad)
+    atlas = b.build()
+    assert int(atlas.n_layers) == 2
+    # sample at texel centers, mip 0, no filtering effects
+    uv = jnp.array([[[(0.5 + 3) / 8, (0.5 + 2) / 8]]])  # texel (3,2)
+    out0 = sample_atlas(atlas, jnp.array([[l0]]), uv, jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(out0[0, 0, :3]), [10 / 255, 20 / 255, 30 / 255], atol=1e-3)
+    out1 = sample_atlas(atlas, jnp.array([[l1]]), uv, jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(out1[0, 0, 0]), 3 * 32 / 255, atol=1e-3)
+
+
+def test_bilinear_interpolation():
+    b = TextureAtlasBuilder(size=4)
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[:, 0] = [0, 0, 0, 255]
+    img[:, 1] = [100, 100, 100, 255]
+    img[:, 2] = [200, 200, 200, 255]
+    img[:, 3] = [100, 100, 100, 255]
+    l = b.add(img)
+    atlas = b.build()
+    # halfway between texel 1 and texel 2 centers in x
+    uv = jnp.array([[[(0.5 + 1.5) / 4, (0.5 + 1) / 4]]])
+    out = sample_atlas(atlas, jnp.array([[l]]), uv, jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), 150 / 255, atol=2e-3)
+
+
+def test_repeat_wrap():
+    b = TextureAtlasBuilder(size=4)
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[0, 0] = [255, 0, 0, 255]
+    l = b.add(img)
+    atlas = b.build()
+    uv0 = jnp.array([[[0.5 / 4, 0.5 / 4]]])
+    uv_wrapped = uv0 + 3.0  # repeat
+    a = sample_atlas(atlas, jnp.array([[l]]), uv0, jnp.zeros((1, 1)))
+    c = sample_atlas(atlas, jnp.array([[l]]), uv_wrapped, jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_trilinear_mip_blend():
+    b = TextureAtlasBuilder(size=8)
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[::2, :] = 255  # horizontal stripes; mip1 averages to ~128
+    l = b.add(img)
+    atlas = b.build()
+    uv = jnp.array([[[0.5, 0.5]]])
+    layer = jnp.array([[l]])
+    s0 = sample_atlas(atlas, layer, uv, jnp.zeros((1, 1)))
+    s1 = sample_atlas(atlas, layer, uv, jnp.ones((1, 1)))
+    smid = sample_atlas(atlas, layer, uv, jnp.full((1, 1), 0.5))
+    expect = (np.asarray(s0) + np.asarray(s1)) / 2
+    np.testing.assert_allclose(np.asarray(smid), expect, atol=1e-3)
+    # lod clamped at the last level
+    sbig = sample_atlas(atlas, layer, uv, jnp.full((1, 1), 99.0))
+    np.testing.assert_allclose(np.asarray(sbig[0, 0, 0]), 128 / 255, atol=0.02)
+
+
+def test_missing_texture_is_white():
+    atlas = TextureAtlasBuilder(size=4).build()
+    out = sample_atlas(atlas, jnp.array([[-1]]), jnp.array([[[0.3, 0.7]]]), jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+def test_srgb_roundtrip():
+    from renderer_tpu.utils.image import srgb_encode
+
+    x = np.linspace(0, 1, 64, dtype=np.float32)
+    np.testing.assert_allclose(
+        np.asarray(srgb_to_linear(jnp.asarray(srgb_encode(x)))), x, atol=1e-5
+    )

@@ -1,0 +1,94 @@
+"""Headline benchmark: Sponza-class instanced scene at 1080p on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": fps/60}
+
+Baseline target (BASELINE.md): >= 60 FPS at 1080p for a Sponza-class scene
+with 10k frustum-culled instances on one TPU v5e chip. Also reports Mtris/s.
+"""
+
+import json
+import math
+import time
+
+
+WIDTH, HEIGHT = 1920, 1088  # 1080p padded to the 16-row tile size
+N_INSTANCES = 10000
+TRI_CAPACITY = 1 << 18  # pre-cull expansion capacity (~2x the visible count)
+FRAMES = 30
+TARGET_FPS = 60.0
+
+
+def make_camera(angle: float):
+    import jax.numpy as jnp
+
+    from renderer_tpu import mathx
+    from renderer_tpu.mathx.camera import Camera
+
+    r = 18.0
+    pos = jnp.array(
+        [r * math.sin(angle), 6.0, r * math.cos(angle)], jnp.float32
+    )
+    rot = mathx.quat_mul(
+        mathx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), angle),
+        mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -0.3),
+    )
+    return Camera.create(
+        position=pos, rotation=rot, fov_y=0.9, aspect=WIDTH / HEIGHT,
+        near=0.1, far=200.0,
+    )
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from renderer_tpu.models import sponza_like_scene
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+
+    platform = jax.devices()[0].platform
+    scene = sponza_like_scene(N_INSTANCES)
+    cfg = PipelineConfig(
+        width=WIDTH,
+        height=HEIGHT,
+        tri_capacity=TRI_CAPACITY,
+        use_pallas=(platform == "tpu"),
+        shading="pbr",
+    )
+    renderer = Renderer(scene, cfg, outputs=("image",))
+
+    # visible-triangle count for Mtris/s (one probe frame via the soup)
+    probe = Renderer(scene, cfg, outputs=("soup",))
+    tri_count = int(np.asarray(probe.render(make_camera(0.3))["soup"].count))
+    del probe
+
+    # warmup/compile
+    out = renderer.render(make_camera(0.3))
+    jax.block_until_ready(out["image"])
+
+    t0 = time.perf_counter()
+    for k in range(FRAMES):
+        out = renderer.render(make_camera(0.3 + 0.01 * k))
+    jax.block_until_ready(out["image"])
+    dt = (time.perf_counter() - t0) / FRAMES
+    fps = 1.0 / dt
+    mtris = tri_count * fps / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": f"sponza_like_{N_INSTANCES}inst_{WIDTH}x{HEIGHT}_fps_{platform}",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+                "mtris_per_sec": round(mtris, 1),
+                "visible_triangles": tri_count,
+                "frame_ms": round(dt * 1e3, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,7 @@ def build_scene(name: str):
     else:
         raise SystemExit(f"unknown scene {name!r} (try: box, spheres, mixed, textured)")
     b.add_light(position=(3.0, 5.0, 4.0), intensity=30.0)
-    b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35)
+    b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35, shadow_slot=0)
     return b.build()
 
 
@@ -85,6 +85,7 @@ def main(argv=None):
     ap.add_argument("--debug-aabbs", action="store_true", help="draw culling AABBs")
     ap.add_argument("--freeze-culling", action="store_true")
     ap.add_argument("--pallas", action="store_true", help="use the Pallas tile rasterizer")
+    ap.add_argument("--shadows", action="store_true", help="shadow-mapped directional light")
     args = ap.parse_args(argv)
 
     import jax
@@ -104,7 +105,7 @@ def main(argv=None):
             use_pallas=args.pallas,
         ),
     )
-    renderer.set_config(debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling)
+    renderer.set_config(debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling, shadows=args.shadows)
     renderer.config = renderer._pending_config  # apply immediately for the CLI
 
     def make_camera(angle):

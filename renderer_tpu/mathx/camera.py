@@ -91,6 +91,18 @@ def perspective(fov_y, aspect, near, far) -> jnp.ndarray:
     return m
 
 
+def orthographic(half_w, half_h, near, far) -> jnp.ndarray:
+    """Orthographic projection, view -> clip, depth range [0, 1], centered.
+    Used by directional shadow cameras (ref: shadow_mapping.rs light MVPs)."""
+    m = jnp.zeros((4, 4), jnp.float32)
+    m = m.at[0, 0].set(1.0 / half_w)
+    m = m.at[1, 1].set(1.0 / half_h)
+    m = m.at[2, 2].set(-1.0 / (far - near))
+    m = m.at[2, 3].set(-near / (far - near))
+    m = m.at[3, 3].set(1.0)
+    return m
+
+
 def camera_matrices(cam: Camera):
     """(view, proj, viewproj) for a Camera. The reference uploads exactly this
     pair into the camera UBO (/root/reference/src/renderer.rs:2290-2308)."""

@@ -69,7 +69,7 @@ def quat_to_mat3(q: jnp.ndarray) -> jnp.ndarray:
 def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Rotate vectors v (..., 3) by quaternions q (..., 4)."""
     m = quat_to_mat3(q)
-    return jnp.einsum("...ij,...j->...i", m, v)
+    return jnp.einsum("...ij,...j->...i", m, v, precision="highest")
 
 
 def trs_matrix(
@@ -124,6 +124,6 @@ def transform_aabb(m: jnp.ndarray, aabb_min: jnp.ndarray, aabb_max: jnp.ndarray)
     extent = (aabb_max - aabb_min) * 0.5
     lin = m[..., :3, :3]
     t = m[..., :3, 3]
-    new_center = jnp.einsum("...ij,...j->...i", lin, center) + t
-    new_extent = jnp.einsum("...ij,...j->...i", jnp.abs(lin), extent)
+    new_center = jnp.einsum("...ij,...j->...i", lin, center, precision="highest") + t
+    new_extent = jnp.einsum("...ij,...j->...i", jnp.abs(lin), extent, precision="highest")
     return new_center - new_extent, new_center + new_extent

@@ -1,0 +1,182 @@
+"""Procedural scene families (the asset ladder)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+from renderer_tpu.scene.builder import HostMesh
+
+
+def box_scene(limits: SceneLimits = None) -> "Scene":
+    """glTF-Box class: one mesh, one material, one light."""
+    b = SceneBuilder(limits or SceneLimits.tiny())
+    box = b.add_mesh(primitives.box())
+    m = b.add_material(base_color=(0.8, 0.25, 0.2, 1.0), roughness=0.7)
+    b.add_instance(box, m)
+    b.add_light(position=(2.0, 3.0, 4.0), intensity=20.0)
+    b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.4, shadow_slot=0)
+    return b.build()
+
+
+def textured_scene(limits: SceneLimits = None, atlas_size: int = 256) -> "Scene":
+    """Duck/DamagedHelmet class: textured PBR + metals + floor."""
+    b = SceneBuilder(limits or SceneLimits(), atlas_size=atlas_size)
+    plane = b.add_mesh(primitives.plane(size=16.0))
+    sph = b.add_mesh(primitives.uv_sphere(rings=24, sectors=48))
+    box = b.add_mesh(primitives.box())
+    checker = b.add_texture(primitives.checkerboard_texture(atlas_size, squares=16))
+    warm = b.add_texture(
+        primitives.checkerboard_texture(atlas_size, squares=6, c0=(230, 120, 60), c1=(250, 235, 220))
+    )
+    floor = b.add_material(roughness=0.6, base_color_tex=checker)
+    shiny = b.add_material(roughness=0.25, metallic=0.1, base_color_tex=warm)
+    metal = b.add_material(base_color=(0.95, 0.64, 0.54, 1), roughness=0.3, metallic=1.0)
+    b.add_instance(plane, floor, translation=(0, -0.6, 0))
+    b.add_instance(sph, shiny, translation=(-0.9, 0, 0), scale=1.1)
+    b.add_instance(sph, metal, translation=(0.9, 0, 0), scale=1.1)
+    b.add_instance(box, shiny, translation=(0, -0.1, -1.6))
+    b.add_light(position=(3.0, 5.0, 4.0), intensity=30.0)
+    b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35, shadow_slot=0)
+    return b.build()
+
+
+def make_skinned_arm(segments: int = 16, joints: int = 4, length: float = 2.0, radius: float = 0.15):
+    """A procedural skinned tube (the CesiumMan-complexity stand-in): a
+    cylinder along +Y with a joint chain and smooth two-joint weights.
+    Returns (HostMesh, joints (V,4), weights (V,4), parents, inverse_bind,
+    joint_positions)."""
+    sides = 12
+    ys = np.linspace(0.0, length, segments + 1, dtype=np.float32)
+    theta = np.linspace(0, 2 * np.pi, sides + 1, dtype=np.float32)[:-1]
+    positions, normals, uvs = [], [], []
+    for y in ys:
+        for t in theta:
+            positions.append([radius * np.cos(t), y, radius * np.sin(t)])
+            normals.append([np.cos(t), 0.0, np.sin(t)])
+            uvs.append([t / (2 * np.pi), y / length])
+    positions = np.asarray(positions, np.float32)
+    idx = []
+    for i in range(segments):
+        for j in range(sides):
+            a = i * sides + j
+            b = i * sides + (j + 1) % sides
+            c = a + sides
+            d = b + sides
+            idx += [[a, b, c], [b, d, c]]
+    mesh = HostMesh(
+        positions=positions,
+        normals=np.asarray(normals, np.float32),
+        uvs=np.asarray(uvs, np.float32),
+        indices=np.asarray(idx, np.int32),
+    )
+    joint_y = np.linspace(0.0, length, joints, dtype=np.float32)
+    parents = np.arange(-1, joints - 1, dtype=np.int32)
+    inverse_bind = np.tile(np.eye(4, dtype=np.float32), (joints, 1, 1))
+    for j in range(joints):
+        inverse_bind[j, 1, 3] = -joint_y[j]
+    # smooth weights between the two bracketing joints
+    jids = np.zeros((len(positions), 4), np.int32)
+    wts = np.zeros((len(positions), 4), np.float32)
+    seg = (joints - 1) * positions[:, 1] / length
+    j0 = np.clip(np.floor(seg).astype(np.int32), 0, joints - 2)
+    f = seg - j0
+    jids[:, 0] = j0
+    jids[:, 1] = j0 + 1
+    wts[:, 0] = 1.0 - f
+    wts[:, 1] = f
+    return mesh, jids, wts, parents, inverse_bind, joint_y
+
+
+def skinned_scene(limits: SceneLimits = None):
+    """CesiumMan config: an animated skinned figure waving on a floor."""
+    from renderer_tpu.scene import SceneBuilder
+
+    b = SceneBuilder(limits or SceneLimits.tiny())
+    mesh, jids, wts, parents, inv_bind, joint_y = make_skinned_arm()
+    joints = len(parents)
+    # clip: joints sway around Z with phase, 1s loop, 9 keys
+    times = np.linspace(0.0, 1.0, 9, dtype=np.float32)
+    key_t = np.zeros((9, joints, 3), np.float32)
+    key_r = np.zeros((9, joints, 4), np.float32)
+    key_r[..., 0] = 1.0
+    # locals: joint j sits at (joint_y[j] - joint_y[j-1]) above its parent
+    for k, t in enumerate(times):
+        for j in range(joints):
+            key_t[k, j, 1] = joint_y[j] - (joint_y[j - 1] if j > 0 else 0.0)
+            if j > 0:
+                angle = 0.6 * np.sin(2 * np.pi * t + j)
+                key_r[k, j] = [np.cos(angle / 2), 0.0, 0.0, np.sin(angle / 2)]
+    mid = b.add_skinned_mesh(mesh, jids, wts, parents, inv_bind, times, key_t, key_r)
+    plane = b.add_mesh(primitives.plane(size=8.0))
+    b.add_instance(plane, b.add_material(base_color=(0.6, 0.6, 0.62, 1), roughness=0.9))
+    skin_mat = b.add_material(base_color=(0.9, 0.7, 0.5, 1.0), roughness=0.6)
+    b.add_instance(mid, skin_mat)
+    b.add_light(position=(2.0, 4.0, 3.0), intensity=25.0)
+    b.add_light(position=(-0.4, -1.0, -0.2), directional=True, intensity=0.5, shadow_slot=0)
+    return b.build()
+
+
+def sponza_like_scene(
+    n_instances: int = 10000,
+    seed: int = 0,
+    limits: SceneLimits = None,
+    with_lods: bool = True,
+    area: float = 120.0,
+) -> "Scene":
+    """Sponza x 10k class: a large instanced field for the culling/perf path.
+
+    A ground plane plus n_instances of mixed meshes (boxes, spheres, tori)
+    scattered over an area much larger than the view frustum, so frustum
+    culling and LOD selection carry the frame budget — the reference's
+    design point (10k culled instances, BASELINE.md)."""
+    rng = np.random.default_rng(seed)
+    limits = limits or SceneLimits(
+        max_instances=max(16384, 1 << int(np.ceil(np.log2(n_instances + 16)))),
+        max_vertices=1 << 20,
+        max_triangles=1 << 20,
+        max_materials=64,
+        max_lights=4,  # shading loops over light slots; keep the table tight
+    )
+    b = SceneBuilder(limits)
+    plane = b.add_mesh(primitives.plane(size=area * 1.2))
+
+    # LOD chains must share the mesh's vertex pool, so LODs decimate by
+    # dropping triangles (crude but exercises the LOD path end to end; a
+    # meshopt-class simplifier is a later milestone)
+    sph = primitives.uv_sphere(rings=16, sectors=24)
+    if with_lods:
+        sph.lods = [sph.indices[::2], sph.indices[::8]]
+    tor = primitives.torus(rings=16, sides=10)
+    if with_lods:
+        tor.lods = [tor.indices[::2], tor.indices[::8]]
+    box = primitives.box()
+    meshes = [b.add_mesh(box), b.add_mesh(sph), b.add_mesh(tor)]
+
+    mats = [
+        b.add_material(
+            base_color=tuple(rng.uniform(0.2, 0.95, 3)) + (1.0,),
+            roughness=float(rng.uniform(0.2, 0.9)),
+            metallic=float(rng.choice([0.0, 0.0, 1.0])),
+        )
+        for _ in range(32)
+    ]
+    floor = b.add_material(base_color=(0.45, 0.45, 0.48, 1.0), roughness=0.9)
+    b.add_instance(plane, floor, translation=(0, -1.0, 0))
+
+    pos = rng.uniform(-area / 2, area / 2, size=(n_instances, 2))
+    height = rng.uniform(-0.5, 2.0, size=n_instances)
+    scale = rng.uniform(0.3, 1.2, size=n_instances)
+    angles = rng.uniform(0, 2 * np.pi, size=n_instances)
+    for i in range(n_instances):
+        c, s = np.cos(angles[i] / 2), np.sin(angles[i] / 2)
+        b.add_instance(
+            meshes[i % len(meshes)],
+            mats[i % len(mats)],
+            translation=(pos[i, 0], height[i], pos[i, 1]),
+            rotation=(c, 0.0, s, 0.0),
+            scale=float(scale[i]),
+        )
+    b.add_light(position=(0.4, -1.0, 0.2), directional=True, intensity=2.5, shadow_slot=0)
+    b.add_light(position=(0.0, 20.0, 0.0), intensity=300.0)
+    return b.build()

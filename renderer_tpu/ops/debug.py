@@ -53,13 +53,12 @@ def aabb_soup(
     ones = jnp.ones(tri_pos.shape[:-1] + (1,), tri_pos.dtype)
     h = jnp.concatenate([tri_pos, ones], axis=-1)  # (N, 12, 3, 4)
     clip = jnp.einsum("nij,ntkj->ntki", clip_mats, h, precision="highest")
-    world = jnp.einsum("nij,ntkj->ntki", model, h)[..., :3]
 
     # face normals from the box template (object space, rotated by model)
     e1 = tri_pos[:, :, 1] - tri_pos[:, :, 0]
     e2 = tri_pos[:, :, 2] - tri_pos[:, :, 0]
     fn = jnp.cross(e1, e2)
-    fn = jnp.einsum("nij,ntj->nti", model[:, :3, :3], fn)
+    fn = jnp.einsum("nij,ntj->nti", model[:, :3, :3], fn, precision="highest")
     normal = jnp.repeat(fn[:, :, None, :], 3, axis=2)  # (N, 12, 3, 3)
 
     t_total = n * 12
@@ -71,7 +70,6 @@ def aabb_soup(
 
     soup = TriangleSoup(
         clip=flat(clip),
-        world=flat(world),
         normal=flat(normal),
         uv=jnp.zeros((t_total, 3, 2), jnp.float32),
         tangent=jnp.zeros((t_total, 3, 4), jnp.float32),
@@ -79,6 +77,7 @@ def aabb_soup(
         valid=valid_full,
         count=jnp.sum(visible.astype(jnp.int32)) * 12,
         tex_lod=jnp.zeros((t_total,), jnp.float32),
+        tri_idx=jnp.zeros((t_total,), jnp.int32),
     )
     # clamp/pad to capacity
     if t_total >= capacity:

@@ -28,27 +28,94 @@ class TriangleSoup(NamedTuple):
     """Fixed-capacity post-transform triangle stream (the raster input).
 
     clip:     (T, 3, 4) clip-space positions
-    world:    (T, 3, 3) world-space positions (lighting)
     normal:   (T, 3, 3) world-space normals
     uv:       (T, 3, 2)
     tangent:  (T, 3, 4) world-space tangents (xyz) + handedness (w)
     instance: (T,)      owning instance id (material lookup)
     valid:    (T,)      bool — slot holds a live, non-culled triangle
     count:    ()        i32 — live slots before masking (expansion total)
+
+    World positions are deliberately NOT stored: shading unprojects them from
+    the depth buffer (inverse viewproj), and shadow rasterization composes
+    light_mat @ viewproj^-1 to act on clip directly — visibility-buffer
+    style, saving a third of the stream's HBM traffic.
     """
 
     clip: jnp.ndarray
-    world: jnp.ndarray
     normal: jnp.ndarray
     uv: jnp.ndarray
     tangent: jnp.ndarray
     instance: jnp.ndarray
     valid: jnp.ndarray
     count: jnp.ndarray
+    # (T,) i32 library-global triangle index (for draw-list freezing /
+    # attribute re-fetch)
+    tri_idx: jnp.ndarray
     # (T,) f32 per-triangle base texture LOD: 0.5*log2(uv texel area /
     # screen pixel area) at the atlas's base resolution. A per-triangle
     # constant is the deferred-shading stand-in for screen-space derivatives.
     tex_lod: jnp.ndarray
+
+
+class DrawList(NamedTuple):
+    """The persistent, camera-independent culling result: which (instance,
+    triangle) pairs draw this frame. This is what freeze_culling freezes —
+    matching the reference, whose bypass pass copies the culled index/indirect
+    buffers while vertices are still re-transformed by the live camera
+    (cull_pipeline.rs:331-421).
+
+    owner:   (T,) i32 instance id
+    tri_idx: (T,) i32 library-global triangle index
+    valid:   (T,) bool
+    count:   () i32
+    """
+
+    owner: jnp.ndarray
+    tri_idx: jnp.ndarray
+    valid: jnp.ndarray
+    count: jnp.ndarray
+
+    @staticmethod
+    def empty(capacity: int) -> "DrawList":
+        return DrawList(
+            owner=jnp.zeros((capacity,), jnp.int32),
+            tri_idx=jnp.zeros((capacity,), jnp.int32),
+            valid=jnp.zeros((capacity,), bool),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+def soup_from_draw_list(
+    scene: Scene, dl: DrawList, clip_mats: jnp.ndarray, model: jnp.ndarray
+) -> TriangleSoup:
+    """Re-expand a (frozen) draw list under the CURRENT camera: gather vertex
+    data and transform. The vertex-shader half of the reference's frozen-cull
+    path."""
+    lib = scene.meshes
+    vidx = lib.indices[jnp.where(dl.valid, dl.tri_idx, 0)]
+    pos = lib.positions[vidx]
+    nrm = lib.normals[vidx]
+    uv = lib.uvs[vidx]
+    tan = lib.tangents[vidx]
+    m_clip = clip_mats[dl.owner]
+    m_model = model[dl.owner]
+    ones = jnp.ones(pos.shape[:-1] + (1,), pos.dtype)
+    hpos = jnp.concatenate([pos, ones], axis=-1)
+    clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
+    wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm, precision="highest")
+    wtan_xyz = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], tan[..., :3], precision="highest")
+    wtan = jnp.concatenate([wtan_xyz, tan[..., 3:]], axis=-1)
+    return TriangleSoup(
+        clip=clip,
+        normal=wnrm,
+        uv=uv,
+        tangent=wtan,
+        instance=dl.owner,
+        valid=dl.valid,
+        count=dl.count,
+        tex_lod=jnp.zeros(dl.owner.shape, jnp.float32),
+        tri_idx=dl.tri_idx,
+    )
 
 
 def instance_matrices(scene: Scene) -> jnp.ndarray:
@@ -80,7 +147,7 @@ def select_lod(
     inst = scene.instances
     center = (scene.meshes.mesh_aabb_min + scene.meshes.mesh_aabb_max) * 0.5
     c = center[inst.mesh_id]
-    world_c = jnp.einsum("nij,nj->ni", model[:, :3, :3], c) + model[:, :3, 3]
+    world_c = jnp.einsum("nij,nj->ni", model[:, :3, :3], c, precision="highest") + model[:, :3, 3]
     dist = jnp.linalg.norm(world_c - camera.position, axis=-1)
     radius = jnp.linalg.norm(
         (scene.meshes.mesh_aabb_max - scene.meshes.mesh_aabb_min)[inst.mesh_id], axis=-1
@@ -135,16 +202,14 @@ def expand_draw_stream(
     ones = jnp.ones(pos.shape[:-1] + (1,), pos.dtype)
     hpos = jnp.concatenate([pos, ones], axis=-1)  # (T, 3, 4)
     clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
-    world = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], pos) + m_model[:, None, :3, 3]
     # normals/tangents: rotate by the linear part (uniform scale => no inverse
     # transpose needed; renormalized in shading)
-    wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm)
-    wtan_xyz = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], tan[..., :3])
+    wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm, precision="highest")
+    wtan_xyz = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], tan[..., :3], precision="highest")
     wtan = jnp.concatenate([wtan_xyz, tan[..., 3:]], axis=-1)
 
     return TriangleSoup(
         clip=clip,
-        world=world,
         normal=wnrm,
         uv=uv,
         tangent=wtan,
@@ -152,6 +217,7 @@ def expand_draw_stream(
         valid=valid,
         count=jnp.minimum(total, capacity).astype(jnp.int32),
         tex_lod=jnp.zeros((capacity,), jnp.float32),  # filled by finalize_tex_lod
+        tri_idx=tri_idx,
     )
 
 
@@ -179,6 +245,28 @@ def finalize_tex_lod(soup: TriangleSoup, width: int, height: int, atlas_size: in
     lod = 0.5 * jnp.log2(jnp.maximum(ratio, 1e-12))
     lod = jnp.where(ok, jnp.maximum(lod, 0.0), 0.0)
     return soup._replace(tex_lod=lod)
+
+
+def unproject_depth(
+    depth: jnp.ndarray, viewproj_inv: jnp.ndarray, width: int, height: int,
+    y0: int = 0, full_height: int = None,
+) -> jnp.ndarray:
+    """(H, W) depth + inverse viewproj -> (H, W, 3) world positions.
+
+    Replaces storing per-triangle world positions in the draw stream: pure
+    per-pixel math, no gathers. y0/full_height support row-sharded images."""
+    h, w = depth.shape
+    if full_height is None:
+        full_height = h
+    col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+    row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + jnp.asarray(y0, jnp.float32) + 0.5
+    x = col / width * 2.0 - 1.0
+    y = 1.0 - row / full_height * 2.0
+    ndc = jnp.stack([x, y, depth, jnp.ones_like(depth)], axis=-1)
+    world_h = jnp.einsum("ij,hwj->hwi", viewproj_inv, ndc, precision="highest")
+    return world_h[..., :3] / jnp.where(
+        jnp.abs(world_h[..., 3:4]) > 1e-12, world_h[..., 3:4], 1e-12
+    )
 
 
 def pixel_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:

@@ -53,14 +53,22 @@ def shade_pbr(
     soup: TriangleSoup,
     scene: Scene,
     camera_pos: jnp.ndarray,
-    occlusion: jnp.ndarray = None,  # (H, W, L) per-light shadow factor in [0,1]
+    viewproj_inv: jnp.ndarray = None,
+    shadow=None,  # optional (shadow_depth (n_slots,S,S), light_mats (L,4,4))
     background=(0.05, 0.05, 0.08),
     ambient: float = 0.03,
+    y0=0,
+    full_height: int = None,
 ) -> jnp.ndarray:
+    from renderer_tpu.ops.geometry import unproject_depth
+
     covered = vis.tri_id != NO_TRIANGLE
     safe_id = jnp.maximum(vis.tri_id, 0)
 
-    world = interpolate(vis, soup.world)
+    h_, w_ = vis.depth.shape
+    world = unproject_depth(
+        vis.depth, viewproj_inv, w_, h_, y0=y0, full_height=full_height
+    )
     uv = interpolate(vis, soup.uv)
     n_geom = _normalize(interpolate(vis, soup.normal))
     tangent4 = interpolate(vis, soup.tangent)
@@ -102,8 +110,21 @@ def shade_pbr(
         l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
         atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
         radiance = lights.color[li] * (lights.intensity[li] * atten)
-        if occlusion is not None:
-            radiance = radiance * occlusion[..., li : li + 1]
+        if shadow is not None:
+            from renderer_tpu.ops.shadow import shadow_occlusion
+
+            shadow_depth, light_mats = shadow
+            slot = lights.shadow_slot[li]
+            casts = (slot >= 0) & lights.directional[li] & on
+            ndl_geom = jnp.maximum(
+                jnp.sum(n_geom * l, axis=-1, keepdims=True), 0.0
+            )
+            occl = shadow_occlusion(
+                world, ndl_geom, light_mats[li],
+                shadow_depth[jnp.maximum(slot, 0)],
+                normal=n_geom,
+            )
+            radiance = radiance * jnp.where(casts, occl, 1.0)
         contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance
         color = color + jnp.where(on, contrib, 0.0)
 

@@ -38,7 +38,13 @@ def _edge_accept(lam, adj):
     return jnp.all((lam > 0) | ((lam == 0) & top_left), axis=-2)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "strip_rows", "tri_block", "cull_backface"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "strip_rows", "tri_block", "cull_backface",
+        "full_height",
+    ),
+)
 def rasterize(
     clip: jnp.ndarray,
     valid: jnp.ndarray,
@@ -48,6 +54,8 @@ def rasterize(
     tri_block: int = 128,
     cull_backface: bool = True,
     count=None,
+    y0=0,  # may be traced (shard_map row offset)
+    full_height: int = None,
 ) -> VisibilityBuffer:
     """Rasterize a triangle soup.
 
@@ -56,6 +64,9 @@ def rasterize(
     count: optional traced scalar — when the soup is compacted
     (ops/cull.compact_soup), bounds the triangle loop to ceil(count/block)
     iterations so raster cost scales with visible geometry.
+    y0/full_height: render only rows [y0, y0+height) of a full_height-tall
+    framebuffer — the hook for sharding the image across devices
+    (renderer_tpu.parallel).
     """
     t_cap = clip.shape[0]
     tri_block = min(tri_block, t_cap)
@@ -73,7 +84,9 @@ def rasterize(
     n_strips = height // strip_rows
     p = strip_rows * width
 
-    u = pixel_homogeneous(clip, width, height)  # (T, 3, 3)
+    if full_height is None:
+        full_height = height
+    u = pixel_homogeneous(clip, width, full_height)  # (T, 3, 3)
     m = jnp.swapaxes(u, -1, -2)
     adj_raw = adjugate3(m)
     det = (
@@ -101,7 +114,7 @@ def rasterize(
     bb_xmin = jnp.where(all_front[..., 0], jnp.min(px, axis=-1) - 0.5, 0.0)
     bb_xmax = jnp.where(all_front[..., 0], jnp.max(px, axis=-1) + 0.5, float(width))
     bb_ymin = jnp.where(all_front[..., 0], jnp.min(py, axis=-1) - 0.5, 0.0)
-    bb_ymax = jnp.where(all_front[..., 0], jnp.max(py, axis=-1) + 0.5, float(height))
+    bb_ymax = jnp.where(all_front[..., 0], jnp.max(py, axis=-1) + 0.5, float(full_height))
 
     adj_b = adj.reshape(n_blocks, tri_block, 3, 3)
     zs_b = zs.reshape(n_blocks, tri_block, 3)
@@ -117,6 +130,7 @@ def rasterize(
         row = (
             jax.lax.broadcasted_iota(jnp.float32, (strip_rows, width), 0)
             + strip_i.astype(jnp.float32) * strip_rows
+            + jnp.asarray(y0, jnp.float32)
             + 0.5
         )
         q = jnp.stack([col.ravel(), row.ravel(), jnp.ones((p,), jnp.float32)], axis=0)  # (3, P)
@@ -124,7 +138,7 @@ def rasterize(
         def block_fn(b, carry):
             depth, best_id, best_bary = carry
             adj_k = adj_b[b]  # (B, 3, 3)
-            lam = jnp.einsum("bij,jp->bip", adj_k, q)  # (B, 3, P)
+            lam = jnp.einsum("bij,jp->bip", adj_k, q, precision="highest")  # (B, 3, P)
             covered = _edge_accept(lam, adj_k)  # (B, P)
             bb = bbox_b[b]  # (B, 4)
             covered &= (
@@ -133,8 +147,8 @@ def rasterize(
                 & (q[1][None, :] >= bb[:, 2:3])
                 & (q[1][None, :] <= bb[:, 3:4])
             )
-            w_i = jnp.einsum("bip,bi->bp", lam, ws_b[b])
-            z_num = jnp.einsum("bip,bi->bp", lam, zs_b[b])
+            w_i = jnp.einsum("bip,bi->bp", lam, ws_b[b], precision="highest")
+            z_num = jnp.einsum("bip,bi->bp", lam, zs_b[b], precision="highest")
             covered &= w_i > 0
             z = z_num / jnp.where(w_i != 0, w_i, 1.0)
             covered &= (z >= 0.0) & (z <= 1.0) & ok_b[b][:, None]
@@ -154,10 +168,13 @@ def rasterize(
             best_bary = jnp.where(closer[None, :], bary, best_bary)
             return depth, best_id, best_bary
 
+        # vz ties the carry to q's axis-varying type so the scan carry
+        # typechecks inside shard_map (y0 varies per device)
+        vz = q[1, 0] * 0.0
         init = (
-            jnp.full((p,), DEPTH_CLEAR, jnp.float32),
-            jnp.full((p,), NO_TRIANGLE, jnp.int32),
-            jnp.zeros((3, p), jnp.float32),
+            jnp.full((p,), DEPTH_CLEAR, jnp.float32) + vz,
+            jnp.full((p,), NO_TRIANGLE, jnp.int32) + vz.astype(jnp.int32),
+            jnp.zeros((3, p), jnp.float32) + vz,
         )
         depth, best_id, best_bary = jax.lax.fori_loop(0, n_blocks_live, block_fn, init)
         return (
@@ -179,5 +196,5 @@ def interpolate(vis: VisibilityBuffer, attr: jnp.ndarray, fill=0.0) -> jnp.ndarr
     attr: (T, 3, C) per-triangle-corner attributes -> (H, W, C)."""
     safe = jnp.maximum(vis.tri_id, 0)
     corner = attr[safe]  # (H, W, 3, C)
-    img = jnp.einsum("hwk,hwkc->hwc", vis.bary, corner)
+    img = jnp.einsum("hwk,hwkc->hwc", vis.bary, corner, precision="highest")
     return jnp.where((vis.tri_id != NO_TRIANGLE)[..., None], img, fill)

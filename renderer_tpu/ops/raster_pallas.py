@@ -38,13 +38,20 @@ from renderer_tpu.ops.raster_spec import DEPTH_CLEAR, FRONT_DET_SIGN, NO_TRIANGL
 
 TILE_H = 16
 TILE_W = 128
-BLOCK = 256  # triangles per DMA block
-ROWS = 24  # tri_data rows (20 used + pad to a multiple of 8 sublanes)
-_R_E = 0      # rows 0..8: oriented edge coeffs (e0a,e0b,e0c, e1a,..., e2c)
-_R_Z = 9      # rows 9..11: z_clip per vertex
-_R_W = 12     # rows 12..14: w_clip per vertex
-_R_BB = 15    # rows 15..18: bbox (xmin, xmax, ymin, ymax) in pixel coords
-_R_OK = 19    # row 19: 1.0 if triangle participates
+# Triangles per bin/DMA unit. Small blocks + the Morton-sorted soup give
+# near per-triangle binning quality: a 32-triangle cluster of spatially
+# adjacent triangles has a tight screen bbox, so tiles only walk clusters
+# that genuinely overlap them.
+BLOCK = 32
+GROUP = 8  # triangles processed per loop iteration (one sublane group)
+# f32 record columns per triangle: 20 used, padded to a full 128-lane row so
+# HBM block DMAs stay tile-aligned (Mosaic requires 128-lane slices)
+ROWS = 128
+_R_E = 0      # cols 0..8: oriented edge coeffs (e0a,e0b,e0c, e1a,..., e2c)
+_R_Z = 9      # cols 9..11: z_clip per vertex
+_R_W = 12     # cols 12..14: w_clip per vertex
+_R_BB = 15    # cols 15..18: bbox (xmin, xmax, ymin, ymax) in pixel coords
+_R_OK = 19    # col 19: 1.0 if triangle participates
 
 
 def _setup_tri_data(clip, valid, width, height, cull_backface):
@@ -79,23 +86,32 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
     on_screen = (xmax >= 0) & (xmin <= width) & (ymax >= 0) & (ymin <= height)
     ok = ok & on_screen
 
+    # row-record layout: one (32,) f32 record per triangle so the kernel can
+    # slice 8-triangle sublane groups and read fields with static indices
     tri_data = jnp.concatenate(
         [
-            adj.reshape(t_cap, 9).T,  # (9, T)
-            zs.T,  # (3, T)
-            ws.T,  # (3, T)
-            jnp.stack([xmin, xmax, ymin, ymax], axis=0),  # (4, T)
-            ok[None].astype(jnp.float32),  # (1, T)
-            jnp.zeros((ROWS - 20, t_cap), jnp.float32),  # sublane padding
+            adj.reshape(t_cap, 9),  # (T, 9)
+            zs,  # (T, 3)
+            ws,  # (T, 3)
+            jnp.stack([xmin, xmax, ymin, ymax], axis=-1),  # (T, 4)
+            ok[:, None].astype(jnp.float32),  # (T, 1)
+            jnp.zeros((t_cap, ROWS - 20), jnp.float32),  # lane padding
         ],
-        axis=0,
+        axis=1,
     )
     return tri_data, (xmin, xmax, ymin, ymax, ok)
 
 
+MAX_BLOCKS_PER_TILE = 2048  # per-tile bin list cap (SMEM scratch = 8 KB)
+
+
 def _bin_blocks(bbox_ok, t_cap, width, height):
     """Block-granularity binning: per tile, the ascending list of triangle
-    blocks whose bbox union overlaps the tile (padded, with counts)."""
+    blocks whose bbox union overlaps the tile (padded, with counts).
+
+    Lists live in HBM (n_tiles x MAXB, 128-aligned rows) and are DMA'd into
+    SMEM per tile; a tile overlapping more than MAXB blocks gets the
+    sentinel count -1 = "walk every block" (correct, just unbinned)."""
     xmin, xmax, ymin, ymax, ok = bbox_ok
     n_blocks = t_cap // BLOCK
     inf = jnp.float32(jnp.inf)
@@ -118,20 +134,38 @@ def _bin_blocks(bbox_ok, t_cap, width, height):
         & (bymin[None, None, :] <= t_y1)
         & (bymax[None, None, :] >= t_y0)
     )  # (n_ty, n_tx, n_blocks)
-    blk_ids = jnp.arange(n_blocks, dtype=jnp.int32)
-    ids = jnp.where(overlap, blk_ids[None, None, :], n_blocks)
-    block_list = jnp.sort(ids, axis=-1).astype(jnp.int32)
-    block_count = jnp.sum(overlap, axis=-1).astype(jnp.int32)
-    # padding entries point at block 0 (never read: loop bounded by count)
-    block_list = jnp.where(block_list >= n_blocks, 0, block_list)
-    return block_list, block_count
+    # compact each tile's overlapping block ids to the front (linear-cost
+    # cumsum + scatter-drop; a sort here would dominate at fine block sizes)
+    maxb = min(_round_up(max(n_blocks, 1), 128), MAX_BLOCKS_PER_TILE)
+    n_ty_, n_tx_, _ = overlap.shape
+    flat = overlap.reshape(n_ty_ * n_tx_, n_blocks)
+    pos = jnp.cumsum(flat.astype(jnp.int32), axis=1) - 1
+    block_count = (pos[:, -1] + 1).astype(jnp.int32)
+    dest = jnp.where(flat & (pos < maxb), pos, maxb)  # drop overflow entries
+    blk_ids = jnp.broadcast_to(
+        jnp.arange(n_blocks, dtype=jnp.int32)[None, :], flat.shape
+    )
+    block_list = jnp.zeros((n_ty_ * n_tx_, maxb), jnp.int32)
+    block_list = jax.vmap(
+        lambda bl, d, ids: bl.at[d].set(ids, mode="drop")
+    )(block_list, dest, blk_ids)
+    block_count = jnp.where(block_count > maxb, -1, block_count)
+    return (
+        block_list.reshape(n_ty_, n_tx_, maxb),
+        block_count.reshape(n_ty_, n_tx_),
+    )
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
 
 
 def _raster_kernel(
+    n_blocks: int,
     # scalar-prefetch inputs (SMEM, whole arrays)
-    block_list_ref,  # (n_tiles, n_blocks) i32
-    block_count_ref,  # (n_tiles,) i32
+    block_count_ref,  # (n_tiles,) i32; -1 = bin overflow, walk all blocks
     # inputs
+    block_list_hbm,  # (n_tiles, MAXB) i32, HBM
     tri_hbm,  # (ROWS, T) f32, HBM
     # outputs (VMEM tile blocks)
     depth_ref,  # (TILE_H, TILE_W) f32
@@ -139,13 +173,28 @@ def _raster_kernel(
     b0_ref,  # (TILE_H, TILE_W) f32
     b1_ref,  # (TILE_H, TILE_W) f32
     # scratch
+    list_smem,  # (MAXB,) i32 SMEM
+    list_sem,  # DMA sem
     buf,  # (2, ROWS, BLOCK) f32 VMEM
     sem,  # (2,) DMA sems
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
-    count = block_count_ref[tile]
+    maxb = list_smem.shape[0] * 128  # list stored as (MAXB//128, 128)
+
+    # pull this tile's bin list HBM -> SMEM (overlaps with the clears below)
+    list_dma = pltpu.make_async_copy(block_list_hbm.at[tile], list_smem, list_sem)
+    list_dma.start()
+
+    raw_count = block_count_ref[tile]
+    overflow = raw_count < 0
+    count = jnp.where(overflow, n_blocks, raw_count)
+
+    def block_id(i):
+        """i-th block to process: list entry, or i itself on overflow."""
+        j = jnp.minimum(i, maxb - 1)
+        return jnp.where(overflow, i, list_smem[j // 128, j % 128])
 
     depth_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, jnp.float32)
     id_ref[:] = jnp.full((TILE_H, TILE_W), NO_TRIANGLE, jnp.int32)
@@ -164,11 +213,13 @@ def _raster_kernel(
     )
 
     def start_dma(i, slot):
-        blk = block_list_ref[tile, i]
+        blk = block_id(i)
         off = pl.multiple_of(blk * BLOCK, BLOCK)
         return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(off, BLOCK)], buf.at[slot], sem.at[slot]
+            tri_hbm.at[pl.ds(off, BLOCK), :], buf.at[slot], sem.at[slot]
         )
+
+    list_dma.wait()  # must consume the semaphore even when count == 0
 
     @pl.when(count > 0)
     def _():
@@ -182,64 +233,60 @@ def _raster_kernel(
                 start_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
             # wait for this block's stripe
-            blk = block_list_ref[tile, i]
+            blk = block_id(i)
             pltpu.make_async_copy(
-                tri_hbm.at[:, pl.ds(pl.multiple_of(blk * BLOCK, BLOCK), BLOCK)],
+                tri_hbm.at[pl.ds(pl.multiple_of(blk * BLOCK, BLOCK), BLOCK), :],
                 buf.at[slot],
                 sem.at[slot],
             ).wait()
             base = blk * BLOCK
 
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+            def group_body(g, _):
+                # 8-aligned dynamic sublane slice; per-triangle fields are
+                # then read with STATIC indices (Mosaic forbids dynamic lane
+                # indexing; this costs one aligned slice per 8 triangles)
+                rec = buf[slot, pl.ds(g * GROUP, GROUP), :]  # (GROUP, ROWS)
 
-            def tri_body(t, _):
-                # Mosaic forbids dynamic lane indexing; extract triangle t's
-                # record column as (ROWS, 1) via a one-hot masked reduction
-                # (pure VPU, ~10 ops) and consume it through broadcasting.
-                onehot = (lane_ids == t).astype(jnp.float32)  # (1, BLOCK)
-                c = jnp.sum(buf[slot] * onehot, axis=1, keepdims=True)  # (ROWS, 1)
+                for k in range(GROUP):
+                    def s(col, _k=k):
+                        return rec[_k, col]
 
-                def s(row):
-                    return c[row, 0]  # static-index scalar extract
+                    ok = s(_R_OK) > 0.5
+                    in_bb = (
+                        (px >= s(_R_BB))
+                        & (px <= s(_R_BB + 1))
+                        & (py >= s(_R_BB + 2))
+                        & (py <= s(_R_BB + 3))
+                    )
 
-                ok = s(_R_OK) > 0.5
-                # bbox reject for the whole tile is implicit in binning;
-                # per-pixel bbox clamp (spec) via broadcast compares:
-                in_bb = (
-                    (px >= s(_R_BB))
-                    & (px <= s(_R_BB + 1))
-                    & (py >= s(_R_BB + 2))
-                    & (py <= s(_R_BB + 3))
-                )
+                    def edge(e, _s=s):
+                        a = _s(_R_E + 3 * e)
+                        b = _s(_R_E + 3 * e + 1)
+                        cc = _s(_R_E + 3 * e + 2)
+                        lam = a * px + b * py + cc
+                        top_left = (a > 0) | ((a == 0) & (b > 0))
+                        accept = (lam > 0) | ((lam == 0) & top_left)
+                        return lam, accept
 
-                def edge(k):
-                    a = s(_R_E + 3 * k)
-                    b = s(_R_E + 3 * k + 1)
-                    cc = s(_R_E + 3 * k + 2)
-                    lam = a * px + b * py + cc
-                    top_left = (a > 0) | ((a == 0) & (b > 0))
-                    accept = (lam > 0) | ((lam == 0) & top_left)
-                    return lam, accept
-
-                lam0, a0 = edge(0)
-                lam1, a1 = edge(1)
-                lam2, a2 = edge(2)
-                w_i = lam0 * s(_R_W) + lam1 * s(_R_W + 1) + lam2 * s(_R_W + 2)
-                z_num = lam0 * s(_R_Z) + lam1 * s(_R_Z + 1) + lam2 * s(_R_Z + 2)
-                z = z_num / jnp.where(w_i != 0.0, w_i, 1.0)
-                covered = (
-                    a0 & a1 & a2 & in_bb & (w_i > 0) & (z >= 0.0) & (z <= 1.0) & ok
-                )
-                closer = covered & (z < depth_ref[:])
-                depth_ref[:] = jnp.where(closer, z, depth_ref[:])
-                id_ref[:] = jnp.where(closer, base + t, id_ref[:])
-                lam_sum = lam0 + lam1 + lam2
-                inv = 1.0 / jnp.where(lam_sum != 0.0, lam_sum, 1.0)
-                b0_ref[:] = jnp.where(closer, lam0 * inv, b0_ref[:])
-                b1_ref[:] = jnp.where(closer, lam1 * inv, b1_ref[:])
+                    lam0, a0 = edge(0)
+                    lam1, a1 = edge(1)
+                    lam2, a2 = edge(2)
+                    w_i = lam0 * s(_R_W) + lam1 * s(_R_W + 1) + lam2 * s(_R_W + 2)
+                    z_num = lam0 * s(_R_Z) + lam1 * s(_R_Z + 1) + lam2 * s(_R_Z + 2)
+                    z = z_num / jnp.where(w_i != 0.0, w_i, 1.0)
+                    covered = (
+                        a0 & a1 & a2 & in_bb & (w_i > 0) & (z >= 0.0) & (z <= 1.0) & ok
+                    )
+                    closer = covered & (z < depth_ref[:])
+                    depth_ref[:] = jnp.where(closer, z, depth_ref[:])
+                    id_ref[:] = jnp.where(closer, base + g * GROUP + k, id_ref[:])
+                    lam_sum = lam0 + lam1 + lam2
+                    inv = 1.0 / jnp.where(lam_sum != 0.0, lam_sum, 1.0)
+                    b0_ref[:] = jnp.where(closer, lam0 * inv, b0_ref[:])
+                    b1_ref[:] = jnp.where(closer, lam1 * inv, b1_ref[:])
                 return 0
 
-            jax.lax.fori_loop(0, BLOCK, tri_body, 0)
+            jax.lax.fori_loop(0, BLOCK // GROUP, group_body, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -271,14 +318,16 @@ def rasterize_pallas(
     tri_data, bbox_ok = _setup_tri_data(clip, valid, width, height, cull_backface)
     block_list, block_count = _bin_blocks(bbox_ok, t_cap, width, height)
 
-    # scalar-prefetch carries the per-tile bin lists (SMEM-resident, whole
-    # arrays, indexable by computed tile id — the PrefetchScalarGridSpec
-    # pattern from the Pallas TPU guide)
+    # per-tile bin counts ride scalar prefetch (tiny, SMEM-resident); the
+    # bin LISTS live in HBM and are DMA'd per tile into SMEM scratch — lists
+    # at 1080p scale (n_tiles x 1024 i32) far exceed the ~1 MB SMEM budget
+    maxb = block_list.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # tri_data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # block lists, HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_data, HBM
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
@@ -287,12 +336,14 @@ def rasterize_pallas(
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, BLOCK), jnp.float32),
+            pltpu.SMEM((maxb // 128, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, BLOCK, ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     depth, tri_id, b0, b1 = pl.pallas_call(
-        _raster_kernel,
+        functools.partial(_raster_kernel, n_blocks),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((height, width), jnp.float32),
@@ -302,8 +353,8 @@ def rasterize_pallas(
         ],
         interpret=interpret,
     )(
-        block_list.reshape(n_ty * n_tx, -1),
         block_count.reshape(n_ty * n_tx),
+        block_list.reshape(n_ty * n_tx, maxb // 128, 128),
         tri_data,
     )
 

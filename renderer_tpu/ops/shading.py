@@ -21,14 +21,22 @@ def shade_lambert(
     soup: TriangleSoup,
     scene: Scene,
     camera_pos: jnp.ndarray,
+    viewproj_inv: jnp.ndarray = None,
     background=(0.05, 0.05, 0.08),
     ambient: float = 0.15,
+    y0=0,
+    full_height: int = None,
 ) -> jnp.ndarray:
     """Lambert-shaded linear RGB image (H, W, 3)."""
+    from renderer_tpu.ops.geometry import unproject_depth
+
     covered = vis.tri_id != NO_TRIANGLE
     safe_id = jnp.maximum(vis.tri_id, 0)
 
-    world = interpolate(vis, soup.world)  # (H, W, 3)
+    h, w = vis.depth.shape
+    world = unproject_depth(
+        vis.depth, viewproj_inv, w, h, y0=y0, full_height=full_height
+    )  # (H, W, 3)
     normal = interpolate(vis, soup.normal)
     n = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
 

@@ -1,0 +1,144 @@
+"""Shadow mapping: depth-only raster into a slot atlas + PCF lookup.
+
+The reference renders a 4x4 atlas of 4096^2 depth slots, one per light, with
+direct draws and slope-scaled-bias sampler2DShadow lookups
+(/root/reference/src/renderer/systems/shadow_mapping.rs, gltf_mesh.vert:48-58).
+Here the atlas is a (n_slots, S, S) depth array written by the same
+rasterizer in depth-only mode, and the lookup is a 2x2 PCF gather during
+deferred shading.
+
+v1 scope: directional lights cast shadows (orthographic light camera fitted
+to the scene's world AABB). Point-light (perspective) shadow cameras slot in
+through the same light_matrices hook. Shadow casters are the camera-culled
+draw stream — casters entirely outside the main frustum are missed; a
+light-frustum expansion pass is the planned fix (SURVEY §7 stage 6 note).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from renderer_tpu.mathx.camera import look_at, orthographic
+from renderer_tpu.ops.geometry import TriangleSoup
+from renderer_tpu.ops.raster_jax import rasterize
+from renderer_tpu.scene.types import Lights
+
+
+def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndarray:
+    """(L, 4, 4) light view-proj per light (identity for non-shadow lights).
+
+    Directional: orthographic box fitted around the scene AABB, looking along
+    the light direction from outside the scene.
+    """
+    center = (scene_min + scene_max) * 0.5
+    radius = jnp.linalg.norm(scene_max - scene_min) * 0.5 + 1e-3
+
+    def per_light(direction, directional):
+        d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-8)
+        eye = center - d * (radius * 2.0)
+        # pick an up vector not parallel to d
+        up = jnp.where(jnp.abs(d[1]) > 0.95, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+        view = look_at(eye, center, up)
+        proj = orthographic(radius, radius, radius * 0.5, radius * 3.5)
+        return proj @ view
+
+    mats = jax.vmap(per_light)(lights.position, lights.directional)
+    want = lights.alive & lights.directional & (lights.shadow_slot >= 0)
+    return jnp.where(want[:, None, None], mats, jnp.eye(4, dtype=jnp.float32))
+
+
+def render_shadow_atlas(
+    soup: TriangleSoup,
+    light_mats: jnp.ndarray,  # (L, 4, 4)
+    lights: Lights,
+    n_slots: int,
+    slot_size: int,
+    viewproj_inv: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Depth-only raster of the draw stream from each shadow light.
+
+    Returns (n_slots, S, S) f32 depth (1.0 = empty). Shadow rendering is
+    two-sided (casters shadow from both faces; avoids peter-panning from
+    backface-culled casters).
+
+    The soup stores camera-clip positions only; each light's transform is
+    composed as light_mat @ viewproj^-1 so one matmul takes camera clip
+    directly to light clip (no world positions stored)."""
+
+    def per_slot(slot):
+        # find the light occupying this slot (or none)
+        match = (lights.shadow_slot == slot) & lights.alive & lights.directional
+        li = jnp.argmax(match)
+        active = jnp.any(match)
+        m = light_mats[li] @ viewproj_inv
+        clip = jnp.einsum("ij,tkj->tki", m, soup.clip, precision="highest")
+        vis = rasterize(
+            clip,
+            soup.valid & active,
+            slot_size,
+            slot_size,
+            strip_rows=min(32, slot_size),
+            cull_backface=False,
+            count=jnp.where(active, soup.count, 0),
+        )
+        return vis.depth
+
+    return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
+
+
+def shadow_occlusion(
+    world: jnp.ndarray,      # (H, W, 3)
+    ndl: jnp.ndarray,        # (H, W, 1) clamped n.l for slope-scaled bias
+    light_mat: jnp.ndarray,  # (4, 4)
+    slot_depth: jnp.ndarray,  # (S, S)
+    normal: jnp.ndarray = None,  # (H, W, 3) geometric normal (normal-offset)
+    bias: float = 1e-3,
+    slope_bias: float = 3e-3,
+    normal_offset_texels: float = 1.5,
+) -> jnp.ndarray:
+    """(H, W, 1) shadow factor in [0,1] with 2x2 PCF.
+
+    Acne control: receiver positions are offset along the geometric normal by
+    ~1.5 shadow texels ("normal-offset shadows") plus a small slope-scaled
+    depth bias — the modern replacement for the reference's purely
+    slope-scaled sampler offsets (gltf_mesh.vert:48-58)."""
+    s = slot_depth.shape[0]
+    if normal is not None:
+        # world size of one shadow texel: the light view rows are orthonormal
+        # scaled by the ortho projection, so ||row0[:3]|| = 1/half_w
+        row_norm = jnp.linalg.norm(light_mat[0, :3]) + 1e-12
+        texel_world = 2.0 / (row_norm * s)
+        world = world + normal * (texel_world * normal_offset_texels)
+    h = jnp.concatenate([world, jnp.ones(world.shape[:-1] + (1,), jnp.float32)], axis=-1)
+    clip = jnp.einsum("ij,hwj->hwi", light_mat, h, precision="highest")
+    w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-9, clip[..., 3:4], 1e-9)
+    ndc = clip[..., :3] / w
+    u = (ndc[..., 0] + 1.0) * 0.5
+    v = (1.0 - ndc[..., 1]) * 0.5
+    d = ndc[..., 2]
+    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (d >= 0) & (d <= 1)
+
+    slope = jnp.sqrt(jnp.maximum(1.0 - ndl[..., 0] ** 2, 0.0)) / jnp.maximum(ndl[..., 0], 1e-2)
+    ref_d = d - (bias + slope_bias * jnp.minimum(slope, 4.0))
+
+    tx = u * s - 0.5
+    ty = v * s - 0.5
+    x0 = jnp.floor(tx).astype(jnp.int32)
+    y0 = jnp.floor(ty).astype(jnp.int32)
+    fx = tx - x0
+    fy = ty - y0
+
+    def tap(xo, yo):
+        xi = jnp.clip(x0 + xo, 0, s - 1)
+        yi = jnp.clip(y0 + yo, 0, s - 1)
+        sample = slot_depth[yi, xi]
+        return (ref_d <= sample).astype(jnp.float32)
+
+    lit = (
+        tap(0, 0) * (1 - fx) * (1 - fy)
+        + tap(1, 0) * fx * (1 - fy)
+        + tap(0, 1) * (1 - fx) * fy
+        + tap(1, 1) * fx * fy
+    )
+    return jnp.where(inside, lit, 1.0)[..., None]

@@ -48,5 +48,9 @@ def render_forward(
     vis = rasterize(
         soup.clip, soup.valid, width, height, cull_backface=cull_backface
     )
-    img = shading.shade_lambert(vis, soup, scene, camera.position)
+    import jax.numpy as jnp
+
+    img = shading.shade_lambert(
+        vis, soup, scene, camera.position, viewproj_inv=jnp.linalg.inv(vp)
+    )
     return img, vis

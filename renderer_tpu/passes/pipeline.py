@@ -30,6 +30,9 @@ class PipelineConfig:
     cull_backface: bool = True
     background: tuple = (0.05, 0.05, 0.08)
     shading: str = "pbr"  # "pbr" (GGX metallic-roughness) | "lambert"
+    skinning: bool = False    # enable the pose pass (LBS skinning + clips)
+    shadow_slots: int = 4     # atlas slots (ref: 4x4 atlas, shadow_mapping.rs)
+    shadow_size: int = 512    # per-slot resolution (ref: 4096)
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -47,7 +50,6 @@ class PipelineConfig:
 def empty_soup(capacity: int) -> TriangleSoup:
     return TriangleSoup(
         clip=jnp.zeros((capacity, 3, 4), jnp.float32),
-        world=jnp.zeros((capacity, 3, 3), jnp.float32),
         normal=jnp.zeros((capacity, 3, 3), jnp.float32),
         uv=jnp.zeros((capacity, 3, 2), jnp.float32),
         tangent=jnp.zeros((capacity, 3, 4), jnp.float32),
@@ -55,47 +57,110 @@ def empty_soup(capacity: int) -> TriangleSoup:
         valid=jnp.zeros((capacity,), bool),
         count=jnp.zeros((), jnp.int32),
         tex_lod=jnp.zeros((capacity,), jnp.float32),
+        tri_idx=jnp.zeros((capacity,), jnp.int32),
     )
 
 
 def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     g = FrameGraph("forward")
-    g.switch("freeze_culling", "debug_aabbs")
+    g.switch("freeze_culling", "debug_aabbs", "shadows")
 
     g.resource("scene", external=True, desc="Scene pytree (SoA)")
     g.resource("camera", external=True, desc="Camera")
+    g.resource("time", external=True, desc="animation clock (seconds)")
+    g.resource("scene_view", desc="scene after the pose pass (skinned verts)")
     g.resource("prepared", desc="(model, viewproj, clip_mats, visible, lod)")
+    g.resource("soup", desc="post-cull transformed triangle stream (transient)")
     g.resource(
-        "soup",
+        "draw_list",
         persistent=True,
-        init=lambda: empty_soup(cfg.tri_capacity),
-        desc="post-cull triangle stream",
+        init=lambda: geometry.DrawList.empty(cfg.tri_capacity),
+        desc="camera-independent culled (instance, tri) list; freeze target",
     )
     g.resource("vis", desc="visibility buffer (depth, tri_id, bary)")
+    g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
     g.resource("image", desc="linear RGB framebuffer")
 
-    @g.pass_("prepare", reads=["scene", "camera"], writes=["prepared"])
-    def prepare(scene, camera):
+    if cfg.skinning:
+        @g.pass_("pose", reads=["scene", "time"], writes=["scene_view"], queue="compute")
+        def pose(scene, time):
+            from renderer_tpu.ops.skin import pose_scene
+
+            return {"scene_view": pose_scene(scene, time)}
+    else:
+        @g.pass_("pose", reads=["scene"], writes=["scene_view"])
+        def pose(scene):
+            return {"scene_view": scene}
+
+    @g.pass_("prepare", reads=["scene_view", "camera"], writes=["prepared"])
+    def prepare(scene_view, camera):
+        scene = scene_view
+        import jax.numpy as jnp
+
+        from renderer_tpu import mathx
+
         model = geometry.instance_matrices(scene)
         vp, clip_mats = geometry.camera_clip_matrices(camera, model)
         visible = geometry.coarse_cull(scene, model, vp)
         lod = geometry.select_lod(scene, camera, model)
-        return {"prepared": (model, vp, clip_mats, visible, lod)}
+        # world-space scene bounds over alive instances (shadow camera fit)
+        inst = scene.instances
+        mn = scene.meshes.mesh_aabb_min[inst.mesh_id]
+        mx = scene.meshes.mesh_aabb_max[inst.mesh_id]
+        wmin, wmax = mathx.transform_aabb(model, mn, mx)
+        big = jnp.float32(1e9)
+        alive = inst.alive[:, None]
+        scene_min = jnp.min(jnp.where(alive, wmin, big), axis=0)
+        scene_max = jnp.max(jnp.where(alive, wmax, -big), axis=0)
+        vp_inv = jnp.linalg.inv(vp)
+        return {
+            "prepared": (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv)
+        }
 
     @g.pass_(
         "cull",
-        reads=["scene", "prepared"],
-        writes=["soup"],
+        reads=["scene_view", "prepared"],
+        writes=["soup", "draw_list"],
         condition=["!freeze_culling", "!debug_aabbs"],
         queue="compute",
     )
-    def cull(scene, prepared):
-        model, vp, clip_mats, visible, lod = prepared
+    def cull(scene_view, prepared):
+        scene = scene_view
+        model, vp, clip_mats, visible, lod = prepared[:5]
         soup = geometry.expand_draw_stream(
             scene, visible, lod, clip_mats, model, cfg.tri_capacity
         )
         soup = geometry.cull_triangles(soup, cull_backface=cfg.cull_backface)
-        soup = compact_soup(soup)
+        if cfg.use_pallas:
+            # fused compaction + Morton ordering (one permutation move)
+            from renderer_tpu.ops.cull import compact_sort_soup
+
+            soup = compact_sort_soup(soup, cfg.width, cfg.height)
+        else:
+            soup = compact_soup(soup)
+        soup = geometry.finalize_tex_lod(
+            soup, cfg.width, cfg.height, scene.atlas.level_size[0]
+        )
+        dl = geometry.DrawList(
+            owner=soup.instance, tri_idx=soup.tri_idx, valid=soup.valid,
+            count=soup.count,
+        )
+        return {"soup": soup, "draw_list": dl}
+
+    @g.pass_(
+        "transform_frozen",
+        reads=["scene_view", "prepared", "draw_list"],
+        writes=["soup"],
+        condition=["freeze_culling", "!debug_aabbs"],
+        queue="compute",
+    )
+    def transform_frozen(scene_view, prepared, draw_list):
+        """Freeze-culling path: re-transform last frame's draw list under the
+        CURRENT camera (ref: cull_pass_bypass keeps the culled index buffers
+        while the vertex shader uses the live MVP)."""
+        scene = scene_view
+        model, vp, clip_mats, visible, lod = prepared[:5]
+        soup = geometry.soup_from_draw_list(scene, draw_list, clip_mats, model)
         soup = geometry.finalize_tex_lod(
             soup, cfg.width, cfg.height, scene.atlas.level_size[0]
         )
@@ -103,13 +168,14 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     @g.pass_(
         "aabb_soup",
-        reads=["scene", "prepared"],
+        reads=["scene_view", "prepared"],
         writes=["soup"],
         condition="debug_aabbs",
         queue="compute",
     )
-    def aabb(scene, prepared):
-        model, vp, clip_mats, visible, lod = prepared
+    def aabb(scene_view, prepared):
+        scene = scene_view
+        model, vp, clip_mats, visible, lod = prepared[:5]
         soup = dbg.aabb_soup(scene, visible, clip_mats, model, cfg.tri_capacity)
         return {"soup": compact_soup(soup)}
 
@@ -138,23 +204,59 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         return {"vis": vis}
 
     @g.pass_(
-        "shade",
-        reads=["vis", "soup", "scene", "camera"],
-        writes=["image"],
-        condition="!debug_aabbs",
+        "shadow_pass",
+        reads=["soup", "scene_view", "prepared"],
+        writes=["shadow"],
+        condition=["shadows", "!debug_aabbs"],
+        queue="graphics",
     )
-    def shade(vis, soup, scene, camera):
+    def shadow_pass(soup, scene_view, prepared):
+        scene = scene_view
+        from renderer_tpu.ops.shadow import (
+            directional_light_matrices,
+            render_shadow_atlas,
+        )
+
+        scene_min, scene_max, vp_inv = prepared[5], prepared[6], prepared[7]
+        mats = directional_light_matrices(scene.lights, scene_min, scene_max)
+        atlas = render_shadow_atlas(
+            soup, mats, scene.lights, cfg.shadow_slots, cfg.shadow_size,
+            viewproj_inv=vp_inv,
+        )
+        return {"shadow": (atlas, mats)}
+
+    def _shade(vis, soup, scene, camera, prepared, shadow=None):
+        vp_inv = prepared[7]
         if cfg.shading == "pbr":
             from renderer_tpu.ops.pbr import shade_pbr
 
-            img = shade_pbr(
-                vis, soup, scene, camera.position, background=cfg.background
+            return shade_pbr(
+                vis, soup, scene, camera.position, viewproj_inv=vp_inv,
+                shadow=shadow, background=cfg.background,
             )
-        else:
-            img = shading.shade_lambert(
-                vis, soup, scene, camera.position, background=cfg.background
-            )
-        return {"image": img}
+        img = shading.shade_lambert(
+            vis, soup, scene, camera.position, viewproj_inv=vp_inv,
+            background=cfg.background,
+        )
+        return img
+
+    @g.pass_(
+        "shade",
+        reads=["vis", "soup", "scene_view", "camera", "prepared"],
+        writes=["image"],
+        condition=["!debug_aabbs", "!shadows"],
+    )
+    def shade(vis, soup, scene_view, camera, prepared):
+        return {"image": _shade(vis, soup, scene_view, camera, prepared)}
+
+    @g.pass_(
+        "shade_shadowed",
+        reads=["vis", "soup", "scene_view", "camera", "shadow", "prepared"],
+        writes=["image"],
+        condition=["!debug_aabbs", "shadows"],
+    )
+    def shade_shadowed(vis, soup, scene_view, camera, shadow, prepared):
+        return {"image": _shade(vis, soup, scene_view, camera, prepared, shadow=shadow)}
 
     @g.pass_(
         "shade_debug",

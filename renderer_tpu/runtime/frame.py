@@ -32,6 +32,7 @@ class RuntimeConfig:
 
     freeze_culling: bool = False
     debug_aabbs: bool = False
+    shadows: bool = False
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -68,22 +69,25 @@ class Renderer:
     def _jit_for(self, plan: CompiledPlan):
         key = tuple(sorted(plan.switches.items()))
         if key not in self._jitted:
-            def run(state, scene, camera):
-                return plan.execute(state, scene=scene, camera=camera)
+            def run(state, scene, camera, t):
+                return plan.execute(state, scene=scene, camera=camera, time=t)
 
             self._jitted[key] = jax.jit(run, donate_argnums=0)
             self.stats["compiles"] += 1
         return self._jitted[key]
 
     # -- frame ---------------------------------------------------------------
-    def render(self, camera: Camera, scene: Optional[Scene] = None):
-        """Render one frame; returns the outputs dict (device arrays)."""
+    def render(self, camera: Camera, scene: Optional[Scene] = None, time_s=0.0):
+        """Render one frame; returns the outputs dict (device arrays).
+        time_s drives animation clips (the pose pass)."""
         if scene is not None:
             self.scene = scene
         plan = self.plans.plan(self.config.as_dict())
         fn = self._jit_for(plan)
         t0 = time.perf_counter()
-        outputs, self.state = fn(self.state, self.scene, camera)
+        outputs, self.state = fn(
+            self.state, self.scene, camera, jax.numpy.float32(time_s)
+        )
         self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
         self.stats["frames"] += 1
         self.frame_number += 1

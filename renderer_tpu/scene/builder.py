@@ -71,6 +71,7 @@ class SceneBuilder:
         self._materials: list[dict] = []
         self._instances: list[dict] = []
         self._lights: list[dict] = []
+        self._skins: list[dict] = []
 
     def add_texture(self, img) -> int:
         """Add a texture image; returns atlas layer id for material fields."""
@@ -82,6 +83,47 @@ class SceneBuilder:
             raise ValueError("mesh library full")
         self._meshes.append(mesh)
         return len(self._meshes) - 1
+
+    def add_skinned_mesh(
+        self,
+        mesh: HostMesh,
+        joints: np.ndarray,        # (V, 4) i32
+        weights: np.ndarray,       # (V, 4) f32, rows sum to 1
+        parents: np.ndarray,       # (J,) i32, -1 root, parent idx < child idx
+        inverse_bind: np.ndarray,  # (J, 4, 4)
+        key_times: np.ndarray,     # (K,)
+        key_t: np.ndarray,         # (K, J, 3)
+        key_r: np.ndarray,         # (K, J, 4) quat (w,x,y,z)
+        key_s: np.ndarray = None,  # (K, J)
+    ) -> int:
+        """Add a mesh with linear-blend skinning + one animation clip."""
+        lim = self.limits
+        if len(self._skins) >= lim.max_skins:
+            raise ValueError("skin table full")
+        j = len(parents)
+        k = len(key_times)
+        if j > lim.max_joints:
+            raise ValueError(f"too many joints ({j} > {lim.max_joints})")
+        if k > lim.max_keyframes:
+            raise ValueError(f"too many keyframes ({k} > {lim.max_keyframes})")
+        for jj, p in enumerate(np.asarray(parents)):
+            if p >= jj:
+                raise ValueError("parents must be topologically ordered (parent < child)")
+        mesh_id = self.add_mesh(mesh)
+        self._skins.append(
+            dict(
+                mesh_id=mesh_id,
+                joints=np.asarray(joints, np.int32),
+                weights=np.asarray(weights, np.float32),
+                parents=np.asarray(parents, np.int32),
+                inverse_bind=np.asarray(inverse_bind, np.float32),
+                key_times=np.asarray(key_times, np.float32),
+                key_t=np.asarray(key_t, np.float32),
+                key_r=np.asarray(key_r, np.float32),
+                key_s=np.ones((k, j), np.float32) if key_s is None else np.asarray(key_s, np.float32),
+            )
+        )
+        return mesh_id
 
     # -- materials ----------------------------------------------------------
     def add_material(
@@ -226,7 +268,35 @@ class SceneBuilder:
         lts["count"] = np.int32(len(self._lights))
         lights = Lights(**{k: jnp.asarray(v) for k, v in lts.items()})
 
+        from renderer_tpu.scene.types import Skins
+
+        sk = {k: np.array(v) for k, v in Skins.empty(lim)._asdict().items()}
+        for si, d in enumerate(self._skins):
+            voff = int(lib["mesh_vertex_offset"][d["mesh_id"]])
+            v = len(d["joints"])
+            j = len(d["parents"])
+            k = len(d["key_times"])
+            sk["joints"][voff : voff + v] = d["joints"]
+            sk["weights"][voff : voff + v] = d["weights"]
+            sk["vertex_skin"][voff : voff + v] = si
+            sk["parents"][si, :j] = d["parents"]
+            sk["inverse_bind"][si, :j] = d["inverse_bind"]
+            sk["joint_count"][si] = j
+            sk["key_times"][si, :k] = d["key_times"]
+            sk["key_times"][si, k:] = d["key_times"][-1]  # clamp pad
+            sk["key_t"][si, :k, :j] = d["key_t"]
+            sk["key_t"][si, k:, :j] = d["key_t"][-1]
+            sk["key_r"][si, :k, :j] = d["key_r"]
+            sk["key_r"][si, k:, :j] = d["key_r"][-1]
+            sk["key_s"][si, :k, :j] = d["key_s"]
+            sk["key_s"][si, k:, :j] = d["key_s"][-1]
+            sk["key_count"][si] = k
+            sk["duration"][si] = d["key_times"][-1]
+            sk["mesh_skin"][d["mesh_id"]] = si
+        sk["count"] = np.int32(len(self._skins))
+        skins = Skins(**{k: jnp.asarray(v) for k, v in sk.items()})
+
         return Scene(
             meshes=meshes, instances=instances, materials=materials, lights=lights,
-            atlas=self.atlas.build(),
+            atlas=self.atlas.build(), skins=skins,
         )

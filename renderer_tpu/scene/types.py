@@ -29,6 +29,9 @@ class SceneLimits(NamedTuple):
     max_materials: int = 256
     max_lights: int = 16             # ref: 16 shadow atlas slots
     max_textures: int = 64           # ref: 2x3072 bindless (atlas layers here)
+    max_skins: int = 4               # skinned meshes (CesiumMan config)
+    max_joints: int = 32             # joints per skin
+    max_keyframes: int = 64          # animation keys per clip
 
     @staticmethod
     def tiny() -> "SceneLimits":
@@ -41,6 +44,9 @@ class SceneLimits(NamedTuple):
             max_materials=16,
             max_lights=4,
             max_textures=4,
+            max_skins=2,
+            max_joints=8,
+            max_keyframes=16,
         )
 
 
@@ -181,6 +187,57 @@ class Lights(NamedTuple):
         )
 
 
+class Skins(NamedTuple):
+    """Skinning + animation data (the CesiumMan capability).
+
+    Vertex skin attributes live parallel to the consolidated vertex pool
+    (zero weights = rigid vertex). Each skin has a joint hierarchy (parents
+    topologically ordered: parent index < child index), inverse bind
+    matrices, and one TRS keyframe clip.
+    """
+
+    joints: jnp.ndarray        # (V, 4) i32 joint ids per vertex (skin-local)
+    weights: jnp.ndarray       # (V, 4) f32
+    vertex_skin: jnp.ndarray   # (V,) i32 owning skin, -1 = rigid
+    parents: jnp.ndarray       # (S, J) i32, -1 = root
+    inverse_bind: jnp.ndarray  # (S, J, 4, 4) f32
+    joint_count: jnp.ndarray   # (S,) i32
+    # clip keyframes: translation/rotation/scale per joint
+    key_times: jnp.ndarray     # (S, K) f32 (padded with last time)
+    key_t: jnp.ndarray         # (S, K, J, 3) f32
+    key_r: jnp.ndarray         # (S, K, J, 4) f32 quat (w,x,y,z)
+    key_s: jnp.ndarray         # (S, K, J) f32
+    key_count: jnp.ndarray     # (S,) i32
+    duration: jnp.ndarray      # (S,) f32
+    # per-mesh skin binding: -1 = rigid mesh
+    mesh_skin: jnp.ndarray     # (M,) i32
+    count: jnp.ndarray         # () i32
+
+    @staticmethod
+    def empty(limits: SceneLimits) -> "Skins":
+        V, S, J, K, M = (
+            limits.max_vertices, limits.max_skins, limits.max_joints,
+            limits.max_keyframes, limits.max_meshes,
+        )
+        f32, i32 = jnp.float32, jnp.int32
+        return Skins(
+            joints=jnp.zeros((V, 4), i32),
+            weights=jnp.zeros((V, 4), f32),
+            vertex_skin=jnp.full((V,), -1, i32),
+            parents=jnp.full((S, J), -1, i32),
+            inverse_bind=jnp.tile(jnp.eye(4, dtype=f32), (S, J, 1, 1)),
+            joint_count=jnp.zeros((S,), i32),
+            key_times=jnp.zeros((S, K), f32),
+            key_t=jnp.zeros((S, K, J, 3), f32),
+            key_r=jnp.tile(jnp.array([1, 0, 0, 0], f32), (S, K, J, 1)),
+            key_s=jnp.ones((S, K, J), f32),
+            key_count=jnp.zeros((S,), i32),
+            duration=jnp.ones((S,), f32),
+            mesh_skin=jnp.full((M,), -1, i32),
+            count=jnp.zeros((), i32),
+        )
+
+
 class Scene(NamedTuple):
     """The whole renderable world as one pytree."""
 
@@ -189,6 +246,7 @@ class Scene(NamedTuple):
     materials: Materials
     lights: Lights
     atlas: "TextureAtlas"  # packed mip pyramid (scene/textures.py)
+    skins: Skins
 
     @staticmethod
     def empty(limits: SceneLimits) -> "Scene":
@@ -200,6 +258,7 @@ class Scene(NamedTuple):
             materials=Materials.empty(limits),
             lights=Lights.empty(limits),
             atlas=empty_atlas(),
+            skins=Skins.empty(limits),
         )
 
 

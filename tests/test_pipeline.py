@@ -49,23 +49,37 @@ def test_jit_cache_reused_across_frames():
     assert r.stats["frames"] == 4
 
 
-def test_freeze_culling_reuses_last_soup():
-    """With freeze_culling on, the persistent soup is pinned. The soup stores
-    clip-space positions, so a frozen frame renders identically even when the
-    camera moves (ref: cull_pipeline.rs:331-421 freeze + bypass)."""
-    r = Renderer(small_scene(), CFG)
-    out1 = r.render(cam())  # normal frame, fills soup
+def test_freeze_culling_freezes_draw_list():
+    """freeze_culling pins the culled draw LIST while vertices keep being
+    re-transformed by the live camera — the reference's semantics
+    (cull_pass_bypass keeps index buffers, the vertex shader uses the live
+    MVP; cull_pipeline.rs:331-421)."""
+    b = SceneBuilder(SceneLimits.tiny())
+    box = b.add_mesh(primitives.box())
+    m = b.add_material(base_color=(0.9, 0.4, 0.2, 1.0))
+    b.add_instance(box, m, translation=(0.0, 0.0, 0.0))       # in view
+    b.add_instance(box, m, translation=(0.0, 0.0, 100.0))     # behind camera
+    b.add_light(position=(2.0, 3.0, 4.0), intensity=20.0)
+    scene = b.build()
+
+    behind_cam = Camera.create(position=jnp.array([0.0, 0.0, 103.0]), near=0.1, far=50.0)
+
+    r = Renderer(scene, CFG)
+    out1 = r.render(cam())  # normal frame: draw list = front box only
     r.set_config(freeze_culling=True)
-    out2 = r.render(cam())  # latches config; still unfrozen this frame
-    out3 = r.render(cam(2.0))  # frozen: same soup as frame 2 despite new camera
-    img2 = np.asarray(out2["image"])
-    img3 = np.asarray(out3["image"])
-    np.testing.assert_array_equal(img2, img3)
-    # unfreeze: image changes
+    r.render(cam())  # latch frame (still unfrozen)
+    # frozen + SAME camera: identical image
+    frozen_same = np.asarray(r.render(cam())["image"])
+    np.testing.assert_allclose(frozen_same, np.asarray(out1["image"]), atol=1e-6)
+    # frozen + camera moved to look at the second box: it was never in the
+    # frozen draw list, so nothing of it can appear
+    frozen_moved = r.render(behind_cam)
+    assert np.all(np.asarray(frozen_moved["vis"].tri_id) == -1)
+    # unfrozen, same camera: the second box appears
     r.set_config(freeze_culling=False)
-    r.render(cam(2.0))  # latch frame
-    out5 = r.render(cam(2.0))
-    assert np.abs(np.asarray(out5["image"]) - img2).max() > 1e-3
+    r.render(behind_cam)  # latch
+    live = r.render(behind_cam)
+    assert (np.asarray(live["vis"].tri_id) != -1).sum() > 20
 
 
 def test_debug_aabbs_switch():
@@ -91,7 +105,7 @@ def test_graph_validates_and_dumps():
     g.validate()
     plan = g.compile(outputs=["image"], switches={"debug_aabbs": False, "freeze_culling": False})
     names = [p.name for p in plan.passes]
-    assert names == ["prepare", "cull", "raster", "shade"]
+    assert names == ["pose", "prepare", "cull", "raster", "shade"]
     plan_dbg = g.compile(outputs=["image"], switches={"debug_aabbs": True, "freeze_culling": False})
     names_dbg = [p.name for p in plan_dbg.passes]
     assert "aabb_soup" in names_dbg and "cull" not in names_dbg

@@ -1,0 +1,116 @@
+"""Shadow mapping tests: a box on a plane must cast a shadow."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from renderer_tpu import mathx
+from renderer_tpu.mathx.camera import Camera
+from renderer_tpu.passes.pipeline import PipelineConfig
+from renderer_tpu.runtime import Renderer
+from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+
+def shadow_scene():
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=10.0))
+    box = b.add_mesh(primitives.box())
+    floor = b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0)
+    red = b.add_material(base_color=(0.8, 0.2, 0.2, 1), roughness=0.8)
+    b.add_instance(plane, floor, translation=(0, 0, 0))
+    b.add_instance(box, red, translation=(0, 0.8, 0))  # floats above the plane
+    # light shining straight down -> shadow directly under the box
+    b.add_light(position=(0.0, -1.0, 0.0), directional=True, intensity=3.0, shadow_slot=0)
+    return b.build()
+
+
+def top_down_camera():
+    return Camera.create(
+        position=jnp.array([0.0, 6.0, 0.01]),
+        rotation=mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -np.pi / 2),
+        near=0.1,
+        far=50.0,
+    )
+
+
+def render(shadows: bool):
+    cfg = PipelineConfig(width=64, height=64, tri_capacity=512, shading="pbr")
+    r = Renderer(shadow_scene(), cfg)
+    r.set_config(shadows=shadows)
+    r.config = r._pending_config
+    return np.asarray(r.render(top_down_camera())["image"])
+
+
+def test_box_casts_shadow_on_plane():
+    lit = render(shadows=False)
+    shadowed = render(shadows=True)
+    # A point on the plane far from the box: same brightness either way
+    corner_l = lit[4, 4].mean()
+    corner_s = shadowed[4, 4].mean()
+    np.testing.assert_allclose(corner_s, corner_l, atol=0.02)
+    # Looking straight down: the box occludes the region under it, but the
+    # shadow extends around the box edge? No: straight-down light + straight-
+    # down camera means the shadow is exactly hidden by the box. Instead
+    # compare a plane point near the box edge with a slightly tilted light.
+    assert np.isfinite(shadowed).all()
+
+
+def test_offset_light_shadow_visible():
+    """Tilted light: the shadow lands beside the box and is visible."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=10.0))
+    box = b.add_mesh(primitives.box())
+    floor = b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0)
+    red = b.add_material(base_color=(0.8, 0.2, 0.2, 1), roughness=0.8)
+    b.add_instance(plane, floor)
+    b.add_instance(box, red, translation=(0, 0.8, 0))
+    b.add_light(position=(1.0, -1.0, 0.0), directional=True, intensity=3.0, shadow_slot=0)
+    scene = b.build()
+
+    cfg = PipelineConfig(width=64, height=64, tri_capacity=512, shading="pbr")
+
+    def run(shadows):
+        r = Renderer(scene, cfg)
+        r.set_config(shadows=shadows)
+        r.config = r._pending_config
+        return np.asarray(r.render(top_down_camera())["image"])
+
+    lit = run(False)
+    shadowed = run(True)
+    # light direction (1,-1,0): rays travel toward +X, so the shadow falls on
+    # the +X side of the box (image columns ~40-48 with this camera)
+    shadow_region = (slice(28, 36), slice(40, 48))
+    far_region = (slice(28, 36), slice(4, 16))
+    drop = lit[shadow_region].mean() - shadowed[shadow_region].mean()
+    far_drop = lit[far_region].mean() - shadowed[far_region].mean()
+    assert drop > 0.05, f"expected shadow darkening, got {drop}"
+    assert abs(far_drop) < 0.02, f"far region should be unshadowed, {far_drop}"
+
+
+def test_shadow_atlas_contents():
+    """The atlas slot actually contains the casters' depth."""
+    from renderer_tpu.ops import geometry
+    from renderer_tpu.ops.cull import compact_soup
+    from renderer_tpu.ops.shadow import directional_light_matrices, render_shadow_atlas
+
+    scene = shadow_scene()
+    cam = top_down_camera()
+    model = geometry.instance_matrices(scene)
+    vp, clip_mats = geometry.camera_clip_matrices(cam, model)
+    visible = geometry.coarse_cull(scene, model, vp)
+    lod = geometry.select_lod(scene, cam, model)
+    soup = compact_soup(
+        geometry.cull_triangles(
+            geometry.expand_draw_stream(scene, visible, lod, clip_mats, model, 512)
+        )
+    )
+    mats = directional_light_matrices(
+        scene.lights, jnp.array([-5.0, -0.5, -5.0]), jnp.array([5.0, 1.3, 5.0])
+    )
+    atlas = render_shadow_atlas(
+        soup, mats, scene.lights, n_slots=2, slot_size=64,
+        viewproj_inv=jnp.linalg.inv(vp),
+    )
+    a0 = np.asarray(atlas[0])
+    assert (a0 < 1.0).mean() > 0.3, "slot 0 should contain scene depth"
+    # slot 1 has no light: empty
+    np.testing.assert_array_equal(np.asarray(atlas[1]), 1.0)

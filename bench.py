@@ -55,6 +55,7 @@ def main():
         tri_capacity=TRI_CAPACITY,
         use_pallas=(platform == "tpu"),
         shading="pbr",
+        enable_normal_maps=False,  # the scene carries no normal maps
     )
     renderer = Renderer(scene, cfg, outputs=("image",))
 

@@ -140,6 +140,13 @@ def sponza_like_scene(
     )
     b = SceneBuilder(limits)
     plane = b.add_mesh(primitives.plane(size=area * 1.2))
+    # textures so the perf path exercises mipmapped sampling (BASELINE cfg 4)
+    texs = [
+        b.add_texture(primitives.checkerboard_texture(256, squares=8)),
+        b.add_texture(
+            primitives.checkerboard_texture(256, squares=16, c0=(220, 160, 90), c1=(120, 80, 50))
+        ),
+    ]
 
     # LOD chains must share the mesh's vertex pool, so LODs decimate by
     # dropping triangles (crude but exercises the LOD path end to end; a
@@ -158,8 +165,9 @@ def sponza_like_scene(
             base_color=tuple(rng.uniform(0.2, 0.95, 3)) + (1.0,),
             roughness=float(rng.uniform(0.2, 0.9)),
             metallic=float(rng.choice([0.0, 0.0, 1.0])),
+            base_color_tex=texs[i % 2] if i % 3 == 0 else -1,
         )
-        for _ in range(32)
+        for i in range(32)
     ]
     floor = b.add_material(base_color=(0.45, 0.45, 0.48, 1.0), roughness=0.9)
     b.add_instance(plane, floor, translation=(0, -1.0, 0))

@@ -247,11 +247,56 @@ def finalize_tex_lod(soup: TriangleSoup, width: int, height: int, atlas_size: in
     return soup._replace(tex_lod=lod)
 
 
+## shade-record packing ------------------------------------------------------
+# Deferred shading would otherwise do ~37 independent (H,W)-sized gathers
+# (corner attrs, material scalars). Packing everything a pixel needs into ONE
+# 128-float row per triangle makes shading a single contiguous row-gather:
+# (H*W, 128) output is exactly (8,128)-tile aligned — no padding, no latency-
+# bound scalar gathers. Column layout:
+SR_NORMAL = 0    # 0..8   corner normals (c0.xyz, c1.xyz, c2.xyz)
+SR_UV = 9        # 9..14  corner uvs
+SR_TANGENT = 15  # 15..26 corner tangents (xyzw x3)
+SR_TEXLOD = 27
+SR_INSTANCE = 28
+SR_BASE = 29     # 29..32 base color rgba
+SR_METALLIC = 33
+SR_ROUGH = 34
+SR_EMISSIVE = 35  # 35..37
+SR_BC_LAYER = 38
+SR_NM_LAYER = 39
+SR_COLS = 128
+
+
+def build_shade_records(soup: TriangleSoup, scene: Scene) -> jnp.ndarray:
+    """(T, 128) f32 shade records (see column table above). Built AFTER
+    compaction so nothing moves twice."""
+    t_cap = soup.instance.shape[0]
+    mat_id = scene.instances.material_id[soup.instance]
+    mats = scene.materials
+    cols = [
+        soup.normal.reshape(t_cap, 9),
+        soup.uv.reshape(t_cap, 6),
+        soup.tangent.reshape(t_cap, 12),
+        soup.tex_lod[:, None],
+        soup.instance[:, None].astype(jnp.float32),
+        mats.base_color_factor[mat_id],
+        mats.metallic[mat_id][:, None],
+        mats.roughness[mat_id][:, None],
+        mats.emissive[mat_id],
+        mats.base_color_tex[mat_id][:, None].astype(jnp.float32),
+        mats.normal_tex[mat_id][:, None].astype(jnp.float32),
+    ]
+    rec = jnp.concatenate(cols, axis=-1)
+    pad = SR_COLS - rec.shape[-1]
+    return jnp.concatenate([rec, jnp.zeros((t_cap, pad), jnp.float32)], axis=-1)
+
+
 def unproject_depth(
     depth: jnp.ndarray, viewproj_inv: jnp.ndarray, width: int, height: int,
     y0: int = 0, full_height: int = None,
 ) -> jnp.ndarray:
-    """(H, W) depth + inverse viewproj -> (H, W, 3) world positions.
+    """(H, W) depth + inverse viewproj -> CHANNEL-FIRST (3, H, W) world
+    positions.
 
     Replaces storing per-triangle world positions in the draw stream: pure
     per-pixel math, no gathers. y0/full_height support row-sharded images."""
@@ -262,11 +307,10 @@ def unproject_depth(
     row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + jnp.asarray(y0, jnp.float32) + 0.5
     x = col / width * 2.0 - 1.0
     y = 1.0 - row / full_height * 2.0
-    ndc = jnp.stack([x, y, depth, jnp.ones_like(depth)], axis=-1)
-    world_h = jnp.einsum("ij,hwj->hwi", viewproj_inv, ndc, precision="highest")
-    return world_h[..., :3] / jnp.where(
-        jnp.abs(world_h[..., 3:4]) > 1e-12, world_h[..., 3:4], 1e-12
-    )
+    ndc = jnp.stack([x, y, depth, jnp.ones_like(depth)], axis=0)  # (4, H, W)
+    world_h = jnp.einsum("ij,jhw->ihw", viewproj_inv, ndc, precision="highest")
+    wch = world_h[3:4]
+    return world_h[:3] / jnp.where(jnp.abs(wch) > 1e-12, wch, 1e-12)
 
 
 def pixel_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:

@@ -3,8 +3,13 @@
 The TPU re-expression of the reference's forward fragment shader
 gltf_mesh.frag (TBN normal mapping frag/vert:46-71, GGX specular
 frag:90-134, two lights, shadow lookup) as whole-framebuffer array math.
-Shadow terms plug in via an occlusion image computed by the shadow passes
-(ops/shadow.py); `occlusion=None` means fully lit.
+
+Everything is CHANNEL-FIRST: vectors are (3, H, W), scalars (H, W) — TPU
+tiled layouts pad the trailing two dims to (8, 128), so channel-last
+(H, W, 3) temporaries would cost ~42x their logical size (measured: a single
+packed channel-last gather ballooned to 16 GB at 1080p).
+
+Shadow terms plug in via ops/shadow.py; `shadow=None` means fully lit.
 """
 
 from __future__ import annotations
@@ -14,32 +19,48 @@ import jax.numpy as jnp
 from renderer_tpu.ops.geometry import TriangleSoup
 from renderer_tpu.ops.raster_jax import VisibilityBuffer, interpolate
 from renderer_tpu.ops.raster_spec import NO_TRIANGLE
-from renderer_tpu.ops.texture import sample_atlas, srgb_to_linear
+from renderer_tpu.ops.texture import sample_atlas_cf, srgb_to_linear
 from renderer_tpu.scene.types import Scene
 
 
-def _normalize(v, eps=1e-8):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def _normalize_cf(v, eps=1e-8):
+    """(3, H, W) -> unit vectors."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    return v / jnp.maximum(n, eps)
+
+
+def _dot_cf(a, b):
+    """(3, H, W) x (3, H, W) -> (1, H, W)."""
+    return jnp.sum(a * b, axis=0, keepdims=True)
+
+
+def _cross_cf(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        axis=0,
+    )
 
 
 def _ggx_brdf(n, v, l, albedo, metallic, roughness):
-    """Cook-Torrance specular + Lambert diffuse. All (..., 3) / (..., 1)."""
-    h = _normalize(v + l)
-    ndl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
-    ndv = jnp.maximum(jnp.sum(n * v, axis=-1, keepdims=True), 1e-4)
-    ndh = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
-    vdh = jnp.maximum(jnp.sum(v * h, axis=-1, keepdims=True), 0.0)
+    """Cook-Torrance specular + Lambert diffuse, channel-first.
+    n/v/l/albedo: (3,H,W); metallic/roughness: (1,H,W)."""
+    h = _normalize_cf(v + l)
+    ndl = jnp.maximum(_dot_cf(n, l), 0.0)
+    ndv = jnp.maximum(_dot_cf(n, v), 1e-4)
+    ndh = jnp.maximum(_dot_cf(n, h), 0.0)
+    vdh = jnp.maximum(_dot_cf(v, h), 0.0)
 
     a = jnp.maximum(roughness * roughness, 1e-3)
     a2 = a * a
-    # GGX normal distribution
     denom = ndh * ndh * (a2 - 1.0) + 1.0
     d = a2 / jnp.maximum(jnp.pi * denom * denom, 1e-9)
-    # Smith height-correlated visibility (Heitz approximation)
     gv = ndl * jnp.sqrt(ndv * ndv * (1 - a2) + a2)
     gl = ndv * jnp.sqrt(ndl * ndl * (1 - a2) + a2)
     vis = 0.5 / jnp.maximum(gv + gl, 1e-9)
-    # Schlick Fresnel
     f0 = 0.04 * (1.0 - metallic) + albedo * metallic
     f = f0 + (1.0 - f0) * (1.0 - vdh) ** 5
 
@@ -50,7 +71,7 @@ def _ggx_brdf(n, v, l, albedo, metallic, roughness):
 
 def shade_pbr(
     vis: VisibilityBuffer,
-    soup: TriangleSoup,
+    shade_rec: jnp.ndarray,  # (T, 128) records (geometry.build_shade_records)
     scene: Scene,
     camera_pos: jnp.ndarray,
     viewproj_inv: jnp.ndarray = None,
@@ -59,8 +80,22 @@ def shade_pbr(
     ambient: float = 0.03,
     y0=0,
     full_height: int = None,
+    enable_textures: bool = True,
+    enable_normal_maps: bool = True,
 ) -> jnp.ndarray:
-    from renderer_tpu.ops.geometry import unproject_depth
+    from renderer_tpu.ops.geometry import (
+        SR_BASE,
+        SR_BC_LAYER,
+        SR_EMISSIVE,
+        SR_METALLIC,
+        SR_NM_LAYER,
+        SR_NORMAL,
+        SR_ROUGH,
+        SR_TANGENT,
+        SR_TEXLOD,
+        SR_UV,
+        unproject_depth,
+    )
 
     covered = vis.tri_id != NO_TRIANGLE
     safe_id = jnp.maximum(vis.tri_id, 0)
@@ -68,57 +103,73 @@ def shade_pbr(
     h_, w_ = vis.depth.shape
     world = unproject_depth(
         vis.depth, viewproj_inv, w_, h_, y0=y0, full_height=full_height
+    )  # (3, H, W)
+
+    # THE gather: one contiguous 512-byte row per pixel; (H, W, 128) is
+    # exactly (8,128)-tile aligned
+    rows = shade_rec[safe_id]  # (H, W, 128)
+    col = lambda c: rows[..., c]  # (H, W) plane, clean lane slice
+    b0, b1, b2 = vis.bary[0], vis.bary[1], vis.bary[2]
+
+    def interp(c0, c1, c2):
+        return b0 * col(c0) + b1 * col(c1) + b2 * col(c2)
+
+    n_geom = _normalize_cf(
+        jnp.stack([interp(SR_NORMAL + c, SR_NORMAL + 3 + c, SR_NORMAL + 6 + c) for c in range(3)], 0)
     )
-    uv = interpolate(vis, soup.uv)
-    n_geom = _normalize(interpolate(vis, soup.normal))
-    tangent4 = interpolate(vis, soup.tangent)
-    tex_lod = soup.tex_lod[safe_id]  # (H, W)
-
-    inst = soup.instance[safe_id]
-    mat_id = scene.instances.material_id[inst]
-    mats = scene.materials
-    base_factor = mats.base_color_factor[mat_id]  # (H, W, 4)
-    metallic = mats.metallic[mat_id][..., None]
-    roughness = mats.roughness[mat_id][..., None]
-    emissive = mats.emissive[mat_id]
-    bc_layer = mats.base_color_tex[mat_id]
-    nm_layer = mats.normal_tex[mat_id]
-
-    bc_tex = sample_atlas(scene.atlas, bc_layer, uv, tex_lod)
-    albedo = base_factor[..., :3] * srgb_to_linear(bc_tex[..., :3])
-
-    # normal mapping: TBN from interpolated tangent frame (frag's TBN path)
-    t = tangent4[..., :3]
-    t = _normalize(t - n_geom * jnp.sum(t * n_geom, axis=-1, keepdims=True))
-    b = jnp.cross(n_geom, t) * tangent4[..., 3:4]
-    nm = sample_atlas(scene.atlas, nm_layer, uv, tex_lod)
-    nm_vec = nm[..., :3] * 2.0 - 1.0
-    n_mapped = _normalize(
-        t * nm_vec[..., 0:1] + b * nm_vec[..., 1:2] + n_geom * nm_vec[..., 2:3]
+    u = interp(SR_UV, SR_UV + 2, SR_UV + 4)
+    v_ = interp(SR_UV + 1, SR_UV + 3, SR_UV + 5)
+    tangent = jnp.stack(
+        [interp(SR_TANGENT + c, SR_TANGENT + 4 + c, SR_TANGENT + 8 + c) for c in range(3)], 0
     )
-    n = jnp.where((nm_layer >= 0)[..., None], n_mapped, n_geom)
+    tan_w = col(SR_TANGENT + 3)[None]  # handedness is per-triangle constant
+    tex_lod = col(SR_TEXLOD)
 
-    v = _normalize(camera_pos - world)
+    base_factor = jnp.stack([col(SR_BASE + c) for c in range(3)], 0)
+    metallic = col(SR_METALLIC)[None]
+    roughness = col(SR_ROUGH)[None]
+    emissive = jnp.stack([col(SR_EMISSIVE + c) for c in range(3)], 0)
+    bc_layer = col(SR_BC_LAYER).astype(jnp.int32)
+    nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
+
+    if enable_textures:
+        bc = sample_atlas_cf(scene.atlas, bc_layer, u, v_, tex_lod)  # (4, H, W)
+        albedo = base_factor * srgb_to_linear(bc[0:3])
+    else:
+        albedo = base_factor
+
+    if enable_textures and enable_normal_maps:
+        t = tangent
+        t = _normalize_cf(t - n_geom * _dot_cf(t, n_geom))
+        b = _cross_cf(n_geom, t) * tan_w
+        nm = sample_atlas_cf(scene.atlas, nm_layer, u, v_, tex_lod)
+        nx, ny, nz = nm[0] * 2 - 1, nm[1] * 2 - 1, nm[2] * 2 - 1
+        n_mapped = _normalize_cf(t * nx[None] + b * ny[None] + n_geom * nz[None])
+        n = jnp.where((nm_layer >= 0)[None], n_mapped, n_geom)
+    else:
+        n = n_geom
+
+    v = _normalize_cf(camera_pos[:, None, None] - world)
     lights = scene.lights
     color = albedo * ambient + emissive
     for li in range(lights.alive.shape[0]):
         on = lights.alive[li]
         to_light = jnp.where(
-            lights.directional[li], -lights.position[li], lights.position[li] - world
+            lights.directional[li],
+            -lights.position[li][:, None, None] * jnp.ones_like(world),
+            lights.position[li][:, None, None] - world,
         )
-        dist2 = jnp.sum(to_light * to_light, axis=-1, keepdims=True)
+        dist2 = jnp.sum(to_light * to_light, axis=0, keepdims=True)
         l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
         atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
-        radiance = lights.color[li] * (lights.intensity[li] * atten)
+        radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)
         if shadow is not None:
             from renderer_tpu.ops.shadow import shadow_occlusion
 
             shadow_depth, light_mats = shadow
             slot = lights.shadow_slot[li]
             casts = (slot >= 0) & lights.directional[li] & on
-            ndl_geom = jnp.maximum(
-                jnp.sum(n_geom * l, axis=-1, keepdims=True), 0.0
-            )
+            ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
             occl = shadow_occlusion(
                 world, ndl_geom, light_mats[li],
                 shadow_depth[jnp.maximum(slot, 0)],
@@ -128,5 +179,6 @@ def shade_pbr(
         contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance
         color = color + jnp.where(on, contrib, 0.0)
 
-    bg = jnp.asarray(background, jnp.float32)
-    return jnp.where(covered[..., None], color, bg)
+    bg = jnp.asarray(background, jnp.float32)[:, None, None]
+    color = jnp.where(covered[None], color, bg)
+    return jnp.moveaxis(color, 0, -1)  # (H, W, 3) only at the boundary

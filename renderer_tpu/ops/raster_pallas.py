@@ -358,6 +358,6 @@ def rasterize_pallas(
         tri_data,
     )
 
-    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=-1)
-    bary = jnp.where((tri_id != NO_TRIANGLE)[..., None], bary, 0.0)
+    bary = jnp.stack([b0, b1, 1.0 - b0 - b1], axis=0)  # channel-first (3,H,W)
+    bary = jnp.where((tri_id != NO_TRIANGLE)[None], bary, 0.0)
     return VisibilityBuffer(depth=depth, tri_id=tri_id, bary=bary)

@@ -88,16 +88,16 @@ def render_shadow_atlas(
 
 
 def shadow_occlusion(
-    world: jnp.ndarray,      # (H, W, 3)
-    ndl: jnp.ndarray,        # (H, W, 1) clamped n.l for slope-scaled bias
+    world: jnp.ndarray,      # (3, H, W) channel-first
+    ndl: jnp.ndarray,        # (1, H, W) clamped n.l for slope-scaled bias
     light_mat: jnp.ndarray,  # (4, 4)
     slot_depth: jnp.ndarray,  # (S, S)
-    normal: jnp.ndarray = None,  # (H, W, 3) geometric normal (normal-offset)
+    normal: jnp.ndarray = None,  # (3, H, W) geometric normal (normal-offset)
     bias: float = 1e-3,
     slope_bias: float = 3e-3,
     normal_offset_texels: float = 1.5,
 ) -> jnp.ndarray:
-    """(H, W, 1) shadow factor in [0,1] with 2x2 PCF.
+    """(1, H, W) shadow factor in [0,1] with 2x2 PCF.
 
     Acne control: receiver positions are offset along the geometric normal by
     ~1.5 shadow texels ("normal-offset shadows") plus a small slope-scaled
@@ -110,16 +110,15 @@ def shadow_occlusion(
         row_norm = jnp.linalg.norm(light_mat[0, :3]) + 1e-12
         texel_world = 2.0 / (row_norm * s)
         world = world + normal * (texel_world * normal_offset_texels)
-    h = jnp.concatenate([world, jnp.ones(world.shape[:-1] + (1,), jnp.float32)], axis=-1)
-    clip = jnp.einsum("ij,hwj->hwi", light_mat, h, precision="highest")
-    w = jnp.where(jnp.abs(clip[..., 3:4]) > 1e-9, clip[..., 3:4], 1e-9)
-    ndc = clip[..., :3] / w
-    u = (ndc[..., 0] + 1.0) * 0.5
-    v = (1.0 - ndc[..., 1]) * 0.5
-    d = ndc[..., 2]
+    hcf = jnp.concatenate([world, jnp.ones((1,) + world.shape[1:], jnp.float32)], axis=0)
+    clip = jnp.einsum("ij,jhw->ihw", light_mat, hcf, precision="highest")
+    w = jnp.where(jnp.abs(clip[3]) > 1e-9, clip[3], 1e-9)
+    u = (clip[0] / w + 1.0) * 0.5
+    v = (1.0 - clip[1] / w) * 0.5
+    d = clip[2] / w
     inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (d >= 0) & (d <= 1)
 
-    slope = jnp.sqrt(jnp.maximum(1.0 - ndl[..., 0] ** 2, 0.0)) / jnp.maximum(ndl[..., 0], 1e-2)
+    slope = jnp.sqrt(jnp.maximum(1.0 - ndl[0] ** 2, 0.0)) / jnp.maximum(ndl[0], 1e-2)
     ref_d = d - (bias + slope_bias * jnp.minimum(slope, 4.0))
 
     tx = u * s - 0.5
@@ -141,4 +140,4 @@ def shadow_occlusion(
         + tap(0, 1) * (1 - fx) * fy
         + tap(1, 1) * fx * fy
     )
-    return jnp.where(inside, lit, 1.0)[..., None]
+    return jnp.where(inside, lit, 1.0)[None]  # (1, H, W)

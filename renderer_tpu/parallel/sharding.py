@@ -57,7 +57,8 @@ def render_frame_spmd(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS, None), P(AXIS)),
+        # image/depth/tri_id row-sharded; bary is channel-first (3, rows, W)
+        out_specs=(P(AXIS), P(AXIS), P(None, AXIS, None), P(AXIS)),
     )
     def frame(scene_rep: Scene, camera: Camera):
         dev = jax.lax.axis_index(AXIS)
@@ -122,8 +123,9 @@ def render_frame_spmd(
         if shading == "pbr":
             from renderer_tpu.ops.pbr import shade_pbr
 
+            rec = geometry.build_shade_records(full_soup, scene_rep)
             img = shade_pbr(
-                vis, full_soup, scene_rep, camera.position, viewproj_inv=vp_inv,
+                vis, rec, scene_rep, camera.position, viewproj_inv=vp_inv,
                 background=background, y0=y0, full_height=height,
             )
         else:

@@ -31,6 +31,8 @@ class PipelineConfig:
     background: tuple = (0.05, 0.05, 0.08)
     shading: str = "pbr"  # "pbr" (GGX metallic-roughness) | "lambert"
     skinning: bool = False    # enable the pose pass (LBS skinning + clips)
+    enable_textures: bool = True
+    enable_normal_maps: bool = True
     shadow_slots: int = 4     # atlas slots (ref: 4x4 atlas, shadow_mapping.rs)
     shadow_size: int = 512    # per-slot resolution (ref: 4096)
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
@@ -61,9 +63,20 @@ def empty_soup(capacity: int) -> TriangleSoup:
     )
 
 
+def _empty_vis(width: int, height: int):
+    from renderer_tpu.ops.raster_jax import VisibilityBuffer
+    from renderer_tpu.ops.raster_spec import DEPTH_CLEAR, NO_TRIANGLE
+
+    return VisibilityBuffer(
+        depth=jnp.full((height, width), DEPTH_CLEAR, jnp.float32),
+        tri_id=jnp.full((height, width), NO_TRIANGLE, jnp.int32),
+        bary=jnp.zeros((3, height, width), jnp.float32),
+    )
+
+
 def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     g = FrameGraph("forward")
-    g.switch("freeze_culling", "debug_aabbs", "shadows")
+    g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling")
 
     g.resource("scene", external=True, desc="Scene pytree (SoA)")
     g.resource("camera", external=True, desc="Camera")
@@ -71,13 +84,20 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     g.resource("scene_view", desc="scene after the pose pass (skinned verts)")
     g.resource("prepared", desc="(model, viewproj, clip_mats, visible, lod)")
     g.resource("soup", desc="post-cull transformed triangle stream (transient)")
+    g.resource("shade_rec", desc="(T,128) packed per-triangle shade records")
     g.resource(
         "draw_list",
         persistent=True,
         init=lambda: geometry.DrawList.empty(cfg.tri_capacity),
         desc="camera-independent culled (instance, tri) list; freeze target",
     )
-    g.resource("vis", desc="visibility buffer (depth, tri_id, bary)")
+    g.resource(
+        "vis",
+        persistent=True,
+        init=lambda: _empty_vis(cfg.width, cfg.height),
+        desc="visibility buffer (depth, tri_id, bary); persistent so frame "
+        "N-1's depth feeds the occlusion-culling pyramid via reads_prev",
+    )
     g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
     g.resource("image", desc="linear RGB framebuffer")
 
@@ -117,16 +137,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             "prepared": (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv)
         }
 
-    @g.pass_(
-        "cull",
-        reads=["scene_view", "prepared"],
-        writes=["soup", "draw_list"],
-        condition=["!freeze_culling", "!debug_aabbs"],
-        queue="compute",
-    )
-    def cull(scene_view, prepared):
-        scene = scene_view
-        model, vp, clip_mats, visible, lod = prepared[:5]
+    def _cull_body(scene, prepared, visible):
+        model, vp, clip_mats, _, lod = prepared[:5]
         soup = geometry.expand_draw_stream(
             scene, visible, lod, clip_mats, model, cfg.tri_capacity
         )
@@ -145,12 +157,42 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             owner=soup.instance, tri_idx=soup.tri_idx, valid=soup.valid,
             count=soup.count,
         )
-        return {"soup": soup, "draw_list": dl}
+        rec = geometry.build_shade_records(soup, scene)
+        return {"soup": soup, "draw_list": dl, "shade_rec": rec}
+
+    @g.pass_(
+        "cull",
+        reads=["scene_view", "prepared"],
+        writes=["soup", "draw_list", "shade_rec"],
+        condition=["!freeze_culling", "!debug_aabbs", "!occlusion_culling"],
+        queue="compute",
+    )
+    def cull(scene_view, prepared):
+        return _cull_body(scene_view, prepared, prepared[3])
+
+    @g.pass_(
+        "cull_occluded",
+        reads=["scene_view", "prepared"],
+        reads_prev=["vis"],
+        writes=["soup", "draw_list", "shade_rec"],
+        condition=["!freeze_culling", "!debug_aabbs", "occlusion_culling"],
+        queue="compute",
+    )
+    def cull_occluded(scene_view, prepared, vis_prev):
+        """Two-pass occlusion culling: refine instance visibility against
+        frame N-1's depth pyramid (ops/occlusion.py)."""
+        from renderer_tpu.ops.occlusion import occlusion_cull
+
+        model, vp = prepared[0], prepared[1]
+        visible = occlusion_cull(
+            scene_view, model, vp, prepared[3], vis_prev.depth
+        )
+        return _cull_body(scene_view, prepared, visible)
 
     @g.pass_(
         "transform_frozen",
         reads=["scene_view", "prepared", "draw_list"],
-        writes=["soup"],
+        writes=["soup", "shade_rec"],
         condition=["freeze_culling", "!debug_aabbs"],
         queue="compute",
     )
@@ -164,7 +206,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         soup = geometry.finalize_tex_lod(
             soup, cfg.width, cfg.height, scene.atlas.level_size[0]
         )
-        return {"soup": soup}
+        return {"soup": soup, "shade_rec": geometry.build_shade_records(soup, scene)}
 
     @g.pass_(
         "aabb_soup",
@@ -225,14 +267,16 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         )
         return {"shadow": (atlas, mats)}
 
-    def _shade(vis, soup, scene, camera, prepared, shadow=None):
+    def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None):
         vp_inv = prepared[7]
         if cfg.shading == "pbr":
             from renderer_tpu.ops.pbr import shade_pbr
 
             return shade_pbr(
-                vis, soup, scene, camera.position, viewproj_inv=vp_inv,
+                vis, shade_rec, scene, camera.position, viewproj_inv=vp_inv,
                 shadow=shadow, background=cfg.background,
+                enable_textures=cfg.enable_textures,
+                enable_normal_maps=cfg.enable_normal_maps,
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,
@@ -242,21 +286,21 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     @g.pass_(
         "shade",
-        reads=["vis", "soup", "scene_view", "camera", "prepared"],
+        reads=["vis", "soup", "shade_rec", "scene_view", "camera", "prepared"],
         writes=["image"],
         condition=["!debug_aabbs", "!shadows"],
     )
-    def shade(vis, soup, scene_view, camera, prepared):
-        return {"image": _shade(vis, soup, scene_view, camera, prepared)}
+    def shade(vis, soup, shade_rec, scene_view, camera, prepared):
+        return {"image": _shade(vis, soup, shade_rec, scene_view, camera, prepared)}
 
     @g.pass_(
         "shade_shadowed",
-        reads=["vis", "soup", "scene_view", "camera", "shadow", "prepared"],
+        reads=["vis", "soup", "shade_rec", "scene_view", "camera", "shadow", "prepared"],
         writes=["image"],
         condition=["!debug_aabbs", "shadows"],
     )
-    def shade_shadowed(vis, soup, scene_view, camera, shadow, prepared):
-        return {"image": _shade(vis, soup, scene_view, camera, prepared, shadow=shadow)}
+    def shade_shadowed(vis, soup, shade_rec, scene_view, camera, shadow, prepared):
+        return {"image": _shade(vis, soup, shade_rec, scene_view, camera, prepared, shadow=shadow)}
 
     @g.pass_(
         "shade_debug",

@@ -33,6 +33,7 @@ class RuntimeConfig:
     freeze_culling: bool = False
     debug_aabbs: bool = False
     shadows: bool = False
+    occlusion_culling: bool = False
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -24,9 +24,13 @@ import numpy as np
 
 class TextureAtlas(NamedTuple):
     """Device-side atlas pytree. Static geometry is recoverable from shapes:
-    n_layers = offsets/sizes are aux arrays."""
+    n_layers = offsets/sizes are aux arrays.
+
+    packed_u32 holds RGBA packed into one uint32 per texel so a bilinear tap
+    is ONE gather (channel unpack is bit math on well-tiled 2D planes)."""
 
     packed: "np.ndarray"   # (total_texels, 4) uint8
+    packed_u32: "np.ndarray"  # (total_texels,) uint32, R | G<<8 | B<<16 | A<<24
     level_offset: "np.ndarray"  # (n_levels,) int32, texel offsets
     level_size: "np.ndarray"    # (n_levels,) int32, s_l
     n_layers: "np.ndarray"      # () int32
@@ -101,8 +105,15 @@ class TextureAtlasBuilder:
             packed_parts.append(level.reshape(-1, 4))
             off += n * s * s
         packed = np.concatenate(packed_parts, axis=0)
+        p32 = (
+            packed[:, 0].astype(np.uint32)
+            | (packed[:, 1].astype(np.uint32) << 8)
+            | (packed[:, 2].astype(np.uint32) << 16)
+            | (packed[:, 3].astype(np.uint32) << 24)
+        )
         return TextureAtlas(
             packed=jnp.asarray(packed),
+            packed_u32=jnp.asarray(p32),
             level_offset=jnp.asarray(np.asarray(offsets, np.int32)),
             level_size=jnp.asarray(np.asarray(sizes, np.int32)),
             n_layers=jnp.asarray(np.int32(n)),

@@ -44,9 +44,10 @@ def compare_vs_ref(mesh, cam, size=128, cull_backface=True, budget=0.005):
     np.testing.assert_allclose(
         np.asarray(vis.depth)[same], ref.depth[same], atol=2e-4
     )
-    # f32 vs f64 differ most near sliver-triangle edges; sub-pixel effect
+    # f32 vs f64 differ most near sliver-triangle edges; sub-pixel effect.
+    # vis.bary is channel-first (3, H, W); ref.bary is (H, W, 3)
     np.testing.assert_allclose(
-        np.asarray(vis.bary)[same], ref.bary[same], atol=1e-2
+        np.moveaxis(np.asarray(vis.bary), 0, -1)[same], ref.bary[same], atol=1e-2
     )
     return vis, ref
 
@@ -85,7 +86,7 @@ def test_interpolate_matches_reference():
     uv_corner = mesh.uvs[mesh.indices]  # (T, 3, 2)
     pad = np.zeros((clip.shape[0] - t, 3, 2), np.float32)
     uv_img = interpolate(vis, jnp.asarray(np.concatenate([uv_corner, pad])))
-    got = np.asarray(uv_img)
+    got = np.moveaxis(np.asarray(uv_img), 0, -1)  # (C,H,W) -> (H,W,C)
     covered = np.asarray(vis.tri_id) != NO_TRIANGLE
     assert covered.sum() > 200
     assert np.all(got[covered] >= -1e-4) and np.all(got[covered] <= 1 + 1e-4)

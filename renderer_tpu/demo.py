@@ -86,6 +86,13 @@ def main(argv=None):
     ap.add_argument("--freeze-culling", action="store_true")
     ap.add_argument("--pallas", action="store_true", help="use the Pallas tile rasterizer")
     ap.add_argument("--shadows", action="store_true", help="shadow-mapped directional light")
+    ap.add_argument("--occlusion", action="store_true", help="two-pass occlusion culling")
+    ap.add_argument("--hud", action="store_true", help="print the stats HUD")
+    ap.add_argument(
+        "--dump-graphs", action="store_true",
+        help="write the frame graph + active plan as .dot to diagnostics/ "
+        "(ref: diagnostics/ + live-diagnostics/ dumps)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -105,8 +112,18 @@ def main(argv=None):
             use_pallas=args.pallas,
         ),
     )
-    renderer.set_config(debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling, shadows=args.shadows)
+    renderer.set_config(
+        debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling,
+        shadows=args.shadows, occlusion_culling=args.occlusion,
+    )
     renderer.config = renderer._pending_config  # apply immediately for the CLI
+
+    if args.dump_graphs:
+        from renderer_tpu.graph.dot import dump
+
+        plan = renderer.plans.plan(renderer.config.as_dict())
+        paths = dump(renderer.graph, [plan], directory="diagnostics")
+        print("wrote " + ", ".join(paths))
 
     def make_camera(angle):
         r = 4.0
@@ -133,6 +150,10 @@ def main(argv=None):
     img, vis = out["image"], out["vis"]
     covered = float(np.mean(np.asarray(vis.tri_id) != -1))
     print(f"coverage: {covered:.1%}")
+    if args.hud:
+        from renderer_tpu.runtime.hud import format_hud
+
+        print(format_hud(renderer, extra={"coverage": f"{covered:.1%}"}))
     write_png(args.out, srgb_encode(np.asarray(img)))
     print(f"wrote {args.out}")
 

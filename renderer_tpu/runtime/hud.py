@@ -1,0 +1,79 @@
+"""Text HUD: the imgui overlay's information, as a terminal panel.
+
+The reference's imgui HUD shows VMA allocator stats, runtime toggles, camera
+pose, frame timing, and a graph-dump button (ecs.rs:279-410). A TPU renderer
+is headless, so the same data renders as a stats panel (and the graph dump is
+renderer_tpu.graph.dot / dump()).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def format_hud(
+    renderer,
+    frame_stats=None,
+    arena=None,
+    streamer=None,
+    extra: dict = None,
+) -> str:
+    lines = ["=== renderer_tpu HUD ==="]
+    lines.append(
+        f"frame {renderer.frame_number}  plans compiled: {renderer.stats['compiles']}"
+        f"  last frame: {renderer.stats['last_ms']:.1f} ms"
+    )
+    if frame_stats is not None:
+        s = frame_stats.summary()
+        lines.append(
+            f"fps: {s['fps']:.1f}  avg: {s['ms_avg']:.1f} ms  p99: {s['ms_p99']:.1f} ms"
+        )
+    cfgd = dataclasses.asdict(renderer.config)
+    toggles = "  ".join(f"{k}={'on' if v else 'off'}" for k, v in cfgd.items())
+    lines.append(f"switches: {toggles}")
+    plan = renderer.plans.plan(renderer.config.as_dict())
+    lines.append(
+        "active passes: " + " -> ".join(p.name for p in plan.passes)
+    )
+    if arena is not None:
+        a = arena.stats()
+        lines.append(
+            "staging arena: "
+            f"{a['used']/1e6:.1f}/{a['capacity']/1e6:.1f} MB used, "
+            f"peak {a['peak_used']/1e6:.1f} MB, live allocs {a['live_allocs']}, "
+            f"largest free {a['largest_free_block']/1e6:.1f} MB "
+            f"({a['free_block_count']} blocks)"
+        )
+    if streamer is not None:
+        st = streamer.stats
+        lines.append(
+            f"streaming: {st['uploaded']}/{st['requested']} uploaded "
+            f"({st['decoded'] - st['uploaded']} decoded+queued), "
+            f"budget {streamer.budget}/frame"
+        )
+    for k, v in (extra or {}).items():
+        lines.append(f"{k}: {v}")
+    return "\n".join(lines)
+
+
+def validate_frame(outputs, dump_path: str = "/tmp/renderer_tpu_crash.npz"):
+    """Crash forensics (ref: crash_debugging.rs buffer markers + dump on
+    failed submit): host-side NaN/Inf check of frame outputs; on failure,
+    dumps the offending arrays for post-mortem and raises."""
+    import numpy as np
+
+    bad = {}
+    for name, value in outputs.items():
+        leaves = value if isinstance(value, (list, tuple)) else [value]
+        import jax
+
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(leaves)):
+            arr = np.asarray(leaf)
+            if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+                bad[f"{name}.{i}"] = arr
+    if bad:
+        np.savez(dump_path, **bad)
+        raise FloatingPointError(
+            f"non-finite values in frame outputs {sorted(bad)}; "
+            f"state dumped to {dump_path}"
+        )

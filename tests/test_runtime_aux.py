@@ -1,0 +1,119 @@
+"""Streaming, HUD, profiling-stats, crash-forensics tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from renderer_tpu.mathx.camera import Camera
+from renderer_tpu.passes.pipeline import PipelineConfig
+from renderer_tpu.runtime import Renderer
+from renderer_tpu.runtime.hud import format_hud, validate_frame
+from renderer_tpu.runtime.streaming import SceneStreamer
+from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+from renderer_tpu.utils.profiling import FrameStats
+
+
+def base_scene():
+    b = SceneBuilder(SceneLimits.tiny())
+    box = b.add_mesh(primitives.box())
+    m = b.add_material(base_color=(0.7, 0.7, 0.7, 1))
+    b.add_instance(box, m)
+    b.add_light(position=(2, 3, 4), intensity=20.0)
+    return b.build()
+
+
+def cam():
+    return Camera.create(position=jnp.array([0.0, 0.8, 4.0]), near=0.1, far=50.0)
+
+
+def test_streaming_budget_and_render():
+    scene = base_scene()
+    streamer = SceneStreamer(scene, budget=3)
+    for i in range(7):
+        streamer.request_mesh(
+            primitives.uv_sphere(rings=4, sectors=6),
+            material_id=0,
+            translation=(i - 3.0, 0.0, -1.0),
+            scale=0.4,
+        )
+    # wait for decodes, then pump respecting the budget
+    import time
+
+    for _ in range(50):
+        time.sleep(0.02)
+        if all(f.done() for f in streamer._pending):
+            break
+    s1 = streamer.pump()
+    assert streamer.stats["uploaded"] == 3
+    s2 = streamer.pump()
+    assert streamer.stats["uploaded"] == 6
+    s3 = streamer.pump()
+    assert streamer.stats["uploaded"] == 7
+    assert int(s3.meshes.mesh_count) == 8  # 1 + 7 streamed
+    assert int(s3.instances.count) == 8
+
+    # the streamed-in content actually renders
+    r = Renderer(s3, PipelineConfig(width=64, height=64, tri_capacity=1024))
+    out = r.render(cam())
+    cov = (np.asarray(out["vis"].tri_id) != -1).mean()
+    assert cov > 0.05
+    streamer.close()
+
+
+def test_streaming_capacity_guard():
+    scene = base_scene()
+    streamer = SceneStreamer(scene, budget=8)
+    big = primitives.uv_sphere(rings=64, sectors=96)  # > CHUNK_VERTS
+    streamer.request_mesh(big)
+    import time
+
+    for _ in range(100):
+        time.sleep(0.02)
+        if all(f.done() for f in streamer._pending):
+            break
+    with pytest.raises(ValueError, match="too large"):
+        streamer.pump()
+    streamer.close()
+
+
+def test_hud_contents():
+    from renderer_tpu.runtime.allocator import Arena
+
+    scene = base_scene()
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=256))
+    r.render(cam())
+    fs = FrameStats()
+    fs.tick(); fs.tick()
+    arena = Arena(1 << 16)
+    x = arena.alloc((100,), np.float32)
+    hud = format_hud(r, frame_stats=fs, arena=arena, extra={"coverage": "42%"})
+    assert "frame 2" in hud
+    assert "active passes" in hud and "raster" in hud
+    assert "staging arena" in hud and "live allocs 1" in hud
+    assert "coverage: 42%" in hud
+    assert "freeze_culling=off" in hud
+    arena.free(x); arena.close()
+
+
+def test_validate_frame_catches_nan(tmp_path):
+    good = {"image": jnp.ones((4, 4, 3))}
+    validate_frame(good)  # no raise
+    bad = {"image": jnp.array([[jnp.nan]])}
+    dump = str(tmp_path / "crash.npz")
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        validate_frame(bad, dump_path=dump)
+    import os
+
+    assert os.path.exists(dump)
+
+
+def test_frame_stats():
+    fs = FrameStats(window=4)
+    import time
+
+    for _ in range(6):
+        fs.tick()
+        time.sleep(0.001)
+    s = fs.summary()
+    assert s["fps"] > 0 and s["ms_avg"] > 0
+    assert len(fs.samples) <= 4

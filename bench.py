@@ -14,7 +14,7 @@ import time
 
 WIDTH, HEIGHT = 1920, 1088  # 1080p padded to the 16-row tile size
 N_INSTANCES = 10000
-TRI_CAPACITY = 1 << 18  # pre-cull expansion capacity (~2x the visible count)
+TRI_CAPACITY = 1 << 17  # post-cull capacity (expansion capacity is 2x this)
 FRAMES = 30
 TARGET_FPS = 60.0
 

@@ -247,6 +247,112 @@ def finalize_tex_lod(soup: TriangleSoup, width: int, height: int, atlas_size: in
     return soup._replace(tex_lod=lod)
 
 
+def expand_cull_sort_two_phase(
+    scene: Scene,
+    visible: jnp.ndarray,
+    lod: jnp.ndarray,
+    clip_mats: jnp.ndarray,
+    model: jnp.ndarray,
+    expand_capacity: int,
+    out_capacity: int,
+    width: int,
+    height: int,
+    cull_backface: bool = True,
+) -> TriangleSoup:
+    """Two-phase draw-stream build: phase A expands ONLY positions/clip at
+    expand_capacity (needed for culling + Morton keys); phase B gathers the
+    remaining attributes for the surviving, sorted prefix at out_capacity.
+
+    Post-cull survivors are typically <50% of the expansion (backfaces +
+    off-screen), so attribute gathers/transforms and every downstream buffer
+    shrink accordingly. Replaces expand_draw_stream + cull_triangles +
+    compact_sort_soup in the Pallas pipeline.
+    """
+    from renderer_tpu.ops.cull import _morton2d
+
+    inst = scene.instances
+    lib = scene.meshes
+    n = inst.mesh_id.shape[0]
+
+    # --- phase A: slot mapping + clip positions only -----------------------
+    tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
+    ends = jnp.cumsum(tc)
+    total = ends[-1]
+    starts = ends - tc
+    slots = jnp.arange(expand_capacity, dtype=jnp.int32)
+    owner = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
+    owner = jnp.minimum(owner, n - 1)
+    local = slots - starts[owner]
+    valid = slots < total
+    tri_base = lib.lod_index_offset[inst.mesh_id[owner], lod[owner]]
+    tri_idx = jnp.where(valid, tri_base + local, 0)
+    vidx = lib.indices[tri_idx]
+    pos = lib.positions[vidx]
+    m_clip = clip_mats[owner]
+    hpos = jnp.concatenate([pos, jnp.ones(pos.shape[:-1] + (1,), pos.dtype)], -1)
+    clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
+
+    # --- cull masks (same math as cull_triangles, inline to reuse clip) ----
+    u = pixel_homogeneous(clip, 2, 2)
+    m = jnp.swapaxes(u, -1, -2)
+    det = (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+    mask = valid & frustum_cull_mask(clip)
+    if cull_backface:
+        mask = mask & (det * FRONT_DET_SIGN > 0)
+    else:
+        mask = mask & (det != 0)
+
+    # --- Morton keys + single argsort (invalid -> back) --------------------
+    w = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    all_front = jnp.all(w > 1e-9, axis=-1)
+    px = clip[..., 0] / safe_w
+    py = clip[..., 1] / safe_w
+    cx = jnp.clip((jnp.min(px, -1) + jnp.max(px, -1)) * 0.25 + 0.5, 0.0, 1.0)
+    cy = jnp.clip((jnp.min(py, -1) + jnp.max(py, -1)) * -0.25 + 0.5, 0.0, 1.0)
+    gx = jnp.where(all_front, (cx * 1023).astype(jnp.uint32), 0)
+    gy = jnp.where(all_front, (cy * 1023).astype(jnp.uint32), 0)
+    key = jnp.where(mask, _morton2d(gx, gy), jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key, stable=True)[:out_capacity]  # survivors first
+
+    count = jnp.minimum(
+        jnp.sum(mask.astype(jnp.int32)), out_capacity
+    ).astype(jnp.int32)
+    out_valid = jnp.arange(out_capacity, dtype=jnp.int32) < count
+
+    # --- phase B: gather attributes for the surviving prefix ---------------
+    owner_s = owner[perm]
+    tri_idx_s = tri_idx[perm]
+    clip_s = clip[perm]
+    vidx_s = lib.indices[tri_idx_s]
+    nrm = lib.normals[vidx_s]
+    uv = lib.uvs[vidx_s]
+    tan = lib.tangents[vidx_s]
+    m_model = model[owner_s]
+    wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm, precision="highest")
+    wtan_xyz = jnp.einsum(
+        "tij,tnj->tni", m_model[:, :3, :3], tan[..., :3], precision="highest"
+    )
+    wtan = jnp.concatenate([wtan_xyz, tan[..., 3:]], axis=-1)
+
+    soup = TriangleSoup(
+        clip=clip_s,
+        normal=wnrm,
+        uv=uv,
+        tangent=wtan,
+        instance=owner_s,
+        valid=out_valid,
+        count=count,
+        tex_lod=jnp.zeros((out_capacity,), jnp.float32),
+        tri_idx=tri_idx_s,
+    )
+    return finalize_tex_lod(soup, width, height, scene.atlas.level_size[0])
+
+
 ## shade-record packing ------------------------------------------------------
 # Deferred shading would otherwise do ~37 independent (H,W)-sized gathers
 # (corner attrs, material scalars). Packing everything a pixel needs into ONE

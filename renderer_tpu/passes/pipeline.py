@@ -27,6 +27,8 @@ class PipelineConfig:
     width: int = 256
     height: int = 256
     tri_capacity: int = 16384
+    # pre-cull expansion capacity (two-phase path); 0 = 2x tri_capacity
+    expand_capacity_: int = 0
     cull_backface: bool = True
     background: tuple = (0.05, 0.05, 0.08)
     shading: str = "pbr"  # "pbr" (GGX metallic-roughness) | "lambert"
@@ -39,6 +41,10 @@ class PipelineConfig:
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-mesh tests / dryruns
+
+    @property
+    def expand_capacity(self) -> int:
+        return self.expand_capacity_ or 2 * self.tri_capacity
 
     def __post_init__(self):
         assert self.tri_capacity % 128 == 0, "tri_capacity must be 128-aligned"
@@ -139,20 +145,23 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     def _cull_body(scene, prepared, visible):
         model, vp, clip_mats, _, lod = prepared[:5]
-        soup = geometry.expand_draw_stream(
-            scene, visible, lod, clip_mats, model, cfg.tri_capacity
-        )
-        soup = geometry.cull_triangles(soup, cull_backface=cfg.cull_backface)
         if cfg.use_pallas:
-            # fused compaction + Morton ordering (one permutation move)
-            from renderer_tpu.ops.cull import compact_sort_soup
-
-            soup = compact_sort_soup(soup, cfg.width, cfg.height)
+            # two-phase build: positions-only expansion, then attribute
+            # gathers for the sorted surviving prefix only
+            soup = geometry.expand_cull_sort_two_phase(
+                scene, visible, lod, clip_mats, model,
+                cfg.expand_capacity, cfg.tri_capacity,
+                cfg.width, cfg.height, cull_backface=cfg.cull_backface,
+            )
         else:
+            soup = geometry.expand_draw_stream(
+                scene, visible, lod, clip_mats, model, cfg.tri_capacity
+            )
+            soup = geometry.cull_triangles(soup, cull_backface=cfg.cull_backface)
             soup = compact_soup(soup)
-        soup = geometry.finalize_tex_lod(
-            soup, cfg.width, cfg.height, scene.atlas.level_size[0]
-        )
+            soup = geometry.finalize_tex_lod(
+                soup, cfg.width, cfg.height, scene.atlas.level_size[0]
+            )
         dl = geometry.DrawList(
             owner=soup.instance, tri_idx=soup.tri_idx, valid=soup.valid,
             count=soup.count,

@@ -29,6 +29,10 @@ class PipelineConfig:
     tri_capacity: int = 16384
     # pre-cull expansion capacity (two-phase path); 0 = 2x tri_capacity
     expand_capacity_: int = 0
+    # supersampling factor: render at ssaa*W x ssaa*H, box-resolve down.
+    # The TPU-native replacement for the reference's 4x MSAA + cmd_resolve
+    # (renderer.rs:1047-1087, 1716): no coverage hardware, so SSAA.
+    ssaa: int = 1
     cull_backface: bool = True
     background: tuple = (0.05, 0.05, 0.08)
     shading: str = "pbr"  # "pbr" (GGX metallic-roughness) | "lambert"
@@ -81,6 +85,8 @@ def _empty_vis(width: int, height: int):
 
 
 def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
+    # internal (supersampled) render resolution
+    rw, rh = cfg.width * cfg.ssaa, cfg.height * cfg.ssaa
     g = FrameGraph("forward")
     g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling")
 
@@ -100,12 +106,14 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     g.resource(
         "vis",
         persistent=True,
-        init=lambda: _empty_vis(cfg.width, cfg.height),
+        init=lambda: _empty_vis(rw, rh),
         desc="visibility buffer (depth, tri_id, bary); persistent so frame "
         "N-1's depth feeds the occlusion-culling pyramid via reads_prev",
     )
     g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
-    g.resource("image", desc="linear RGB framebuffer")
+    g.resource("image", desc="linear RGB framebuffer (output resolution)")
+    if cfg.ssaa > 1:
+        g.resource("image_hires", desc="supersampled framebuffer")
 
     if cfg.skinning:
         @g.pass_("pose", reads=["scene", "time"], writes=["scene_view"], queue="compute")
@@ -151,7 +159,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             soup = geometry.expand_cull_sort_two_phase(
                 scene, visible, lod, clip_mats, model,
                 cfg.expand_capacity, cfg.tri_capacity,
-                cfg.width, cfg.height, cull_backface=cfg.cull_backface,
+                rw, rh, cull_backface=cfg.cull_backface,
             )
         else:
             soup = geometry.expand_draw_stream(
@@ -160,7 +168,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             soup = geometry.cull_triangles(soup, cull_backface=cfg.cull_backface)
             soup = compact_soup(soup)
             soup = geometry.finalize_tex_lod(
-                soup, cfg.width, cfg.height, scene.atlas.level_size[0]
+                soup, rw, rh, scene.atlas.level_size[0]
             )
         dl = geometry.DrawList(
             owner=soup.instance, tri_idx=soup.tri_idx, valid=soup.valid,
@@ -213,7 +221,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         model, vp, clip_mats, visible, lod = prepared[:5]
         soup = geometry.soup_from_draw_list(scene, draw_list, clip_mats, model)
         soup = geometry.finalize_tex_lod(
-            soup, cfg.width, cfg.height, scene.atlas.level_size[0]
+            soup, rw, rh, scene.atlas.level_size[0]
         )
         return {"soup": soup, "shade_rec": geometry.build_shade_records(soup, scene)}
 
@@ -238,8 +246,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             vis = rasterize_pallas(
                 soup.clip,
                 soup.valid,
-                cfg.width,
-                cfg.height,
+                rw,
+                rh,
                 cull_backface=cfg.cull_backface,
                 interpret=cfg.pallas_interpret,
             )
@@ -247,8 +255,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             vis = rasterize(
                 soup.clip,
                 soup.valid,
-                cfg.width,
-                cfg.height,
+                rw,
+                rh,
                 cull_backface=cfg.cull_backface,
                 count=soup.count,
             )
@@ -293,32 +301,43 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         )
         return img
 
+    img_res = "image_hires" if cfg.ssaa > 1 else "image"
+
     @g.pass_(
         "shade",
         reads=["vis", "soup", "shade_rec", "scene_view", "camera", "prepared"],
-        writes=["image"],
+        writes=[img_res],
         condition=["!debug_aabbs", "!shadows"],
     )
     def shade(vis, soup, shade_rec, scene_view, camera, prepared):
-        return {"image": _shade(vis, soup, shade_rec, scene_view, camera, prepared)}
+        return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared)}
 
     @g.pass_(
         "shade_shadowed",
         reads=["vis", "soup", "shade_rec", "scene_view", "camera", "shadow", "prepared"],
-        writes=["image"],
+        writes=[img_res],
         condition=["!debug_aabbs", "shadows"],
     )
     def shade_shadowed(vis, soup, shade_rec, scene_view, camera, shadow, prepared):
-        return {"image": _shade(vis, soup, shade_rec, scene_view, camera, prepared, shadow=shadow)}
+        return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared, shadow=shadow)}
+
+    if cfg.ssaa > 1:
+        @g.pass_("resolve", reads=["image_hires"], writes=["image"])
+        def resolve(image_hires):
+            """SSAA box resolve (the cmd_resolve_image analogue)."""
+            k = cfg.ssaa
+            h, w, c = image_hires.shape
+            out = image_hires.reshape(h // k, k, w // k, k, c).mean(axis=(1, 3))
+            return {"image": out}
 
     @g.pass_(
         "shade_debug",
         reads=["vis", "soup"],
-        writes=["image"],
+        writes=[img_res],
         condition="debug_aabbs",
     )
     def shade_debug(vis, soup):
-        return {"image": shading.shade_flat_instance(vis, soup, background=cfg.background)}
+        return {img_res: shading.shade_flat_instance(vis, soup, background=cfg.background)}
 
     return g
 

@@ -27,6 +27,21 @@ def trace(log_dir: str = "/tmp/renderer_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+def dump_hlo(fn, *args, path: str = None, optimized: bool = True) -> str:
+    """Dump the (optimized) HLO of a jitted callable — the compiled-code
+    inspection hook (parity with the reference's RGA .pso dumps, rga.rs)."""
+    import jax
+
+    lowered = jax.jit(fn).lower(*args)
+    text = (
+        lowered.compile().as_text() if optimized else lowered.as_text()
+    )
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
 class FrameStats:
     """Rolling frame-time statistics (ref: imgui frame timing, ecs.rs)."""
 

@@ -168,7 +168,7 @@ def shade_pbr(
 
             shadow_depth, light_mats = shadow
             slot = lights.shadow_slot[li]
-            casts = (slot >= 0) & lights.directional[li] & on
+            casts = (slot >= 0) & on
             ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
             occl = shadow_occlusion(
                 world, ndl_geom, light_mats[li],

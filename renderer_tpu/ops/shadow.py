@@ -28,23 +28,40 @@ from renderer_tpu.scene.types import Lights
 def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndarray:
     """(L, 4, 4) light view-proj per light (identity for non-shadow lights).
 
-    Directional: orthographic box fitted around the scene AABB, looking along
-    the light direction from outside the scene.
+    Directional lights: orthographic box fitted around the scene AABB,
+    looking along the light direction from outside the scene.
+    Point lights: a perspective camera at the light position aimed at the
+    scene center, fov fitted to the scene's bounding sphere (single-face
+    shadow; a full cube-map equivalent = 6 slots, planned).
     """
+    from renderer_tpu.mathx.camera import perspective
+
     center = (scene_min + scene_max) * 0.5
     radius = jnp.linalg.norm(scene_max - scene_min) * 0.5 + 1e-3
 
-    def per_light(direction, directional):
-        d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-8)
-        eye = center - d * (radius * 2.0)
-        # pick an up vector not parallel to d
-        up = jnp.where(jnp.abs(d[1]) > 0.95, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
-        view = look_at(eye, center, up)
-        proj = orthographic(radius, radius, radius * 0.5, radius * 3.5)
+    def per_light(position, directional):
+        # directional: position is the direction
+        d_dir = position / jnp.maximum(jnp.linalg.norm(position), 1e-8)
+        eye_dir = center - d_dir * (radius * 2.0)
+        to_c = center - position
+        dist = jnp.maximum(jnp.linalg.norm(to_c), radius * 0.1 + 1e-3)
+        eye = jnp.where(directional, eye_dir, position)
+        look_dir = jnp.where(directional, d_dir, to_c / dist)
+        up = jnp.where(
+            jnp.abs(look_dir[1]) > 0.95,
+            jnp.array([1.0, 0.0, 0.0]),
+            jnp.array([0.0, 1.0, 0.0]),
+        )
+        view = look_at(eye, eye + look_dir, up)
+        proj_dir = orthographic(radius, radius, radius * 0.5, radius * 3.5)
+        fov = 2.0 * jnp.arctan(radius / dist)
+        fov = jnp.clip(fov, 0.2, 2.8)
+        proj_pt = perspective(fov, 1.0, jnp.maximum(dist - radius, radius * 0.02), dist + radius)
+        proj = jnp.where(directional, proj_dir, proj_pt)
         return proj @ view
 
     mats = jax.vmap(per_light)(lights.position, lights.directional)
-    want = lights.alive & lights.directional & (lights.shadow_slot >= 0)
+    want = lights.alive & (lights.shadow_slot >= 0)
     return jnp.where(want[:, None, None], mats, jnp.eye(4, dtype=jnp.float32))
 
 
@@ -68,7 +85,7 @@ def render_shadow_atlas(
 
     def per_slot(slot):
         # find the light occupying this slot (or none)
-        match = (lights.shadow_slot == slot) & lights.alive & lights.directional
+        match = (lights.shadow_slot == slot) & lights.alive
         li = jnp.argmax(match)
         active = jnp.any(match)
         m = light_mats[li] @ viewproj_inv

@@ -117,3 +117,28 @@ def test_frame_stats():
     s = fs.summary()
     assert s["fps"] > 0 and s["ms_avg"] > 0
     assert len(fs.samples) <= 4
+
+
+def test_projectile_churn():
+    """Spawn/despawn churn (the reference's projectiles + Deleting path)."""
+    from renderer_tpu.runtime.gameplay import ProjectileSystem
+
+    scene = base_scene()
+    ps = ProjectileSystem(scene, mesh_id=0, material_id=0, capacity=8)
+    # spawn one per tick; ttl 0.1s at dt=1/60 -> ~6 ticks lifetime
+    for _ in range(5):
+        ps.step(dt=1 / 60, ttl=0.1)
+    assert ps.alive_count() == 5
+    # stop spawning; all expire
+    for _ in range(10):
+        ps.step(dt=1 / 60, ttl=0.1, spawn=False)
+    assert ps.alive_count() == 0
+    # steady state with spawning: capacity-bounded
+    for _ in range(40):
+        ps.step(dt=1 / 60, ttl=0.1)
+    assert 0 < ps.alive_count() <= 8
+
+    # churned scene still renders (alive mask respected by culling)
+    r = Renderer(ps.scene, PipelineConfig(width=64, height=64, tri_capacity=1024))
+    out = r.render(cam())
+    assert np.isfinite(np.asarray(out["image"])).all()

@@ -114,3 +114,33 @@ def test_shadow_atlas_contents():
     assert (a0 < 1.0).mean() > 0.3, "slot 0 should contain scene depth"
     # slot 1 has no light: empty
     np.testing.assert_array_equal(np.asarray(atlas[1]), 1.0)
+
+
+def test_point_light_shadow():
+    """A point light above a box on a plane: shadow appears under/around it."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=10.0))
+    box = b.add_mesh(primitives.box())
+    floor = b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0)
+    red = b.add_material(base_color=(0.8, 0.2, 0.2, 1), roughness=0.8)
+    b.add_instance(plane, floor)
+    b.add_instance(box, red, translation=(0.0, 1.0, 0.0), scale=0.6)
+    b.add_light(position=(1.5, 4.0, 0.0), intensity=40.0, shadow_slot=0)
+    scene = b.build()
+
+    cfg = PipelineConfig(width=64, height=64, tri_capacity=512, shading="pbr")
+
+    def run(shadows):
+        r = Renderer(scene, cfg)
+        r.set_config(shadows=shadows)
+        r.config = r._pending_config
+        return np.asarray(r.render(top_down_camera())["image"])
+
+    lit = run(False)
+    shadowed = run(True)
+    diff = (lit - shadowed).mean(axis=-1)
+    assert np.isfinite(shadowed).all()
+    # shadow falls away from the light (light at +x above -> shadow on -x side)
+    assert diff.max() > 0.05, f"expected point-light shadow, max diff {diff.max()}"
+    ys, xs = np.where(diff > 0.05)
+    assert xs.mean() < 32, "shadow should fall on the -x side"

@@ -280,9 +280,21 @@ def expand_cull_sort_two_phase(
     total = ends[-1]
     starts = ends - tc
     slots = jnp.arange(expand_capacity, dtype=jnp.int32)
-    owner = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
-    owner = jnp.minimum(owner, n - 1)
-    local = slots - starts[owner]
+    # slot -> owning instance via scatter + cummax (a searchsorted here costs
+    # ~14 rounds of 262k-wide gathers = 40+ ms; two scatters + two scans are
+    # pure vector work). Instances with tc > 0 have strictly increasing
+    # starts, so scatter-max + forward cummax reconstructs the step function.
+    has = tc > 0
+    dest = jnp.where(has, starts, expand_capacity)  # drop empty instances
+    ids = jnp.arange(n, dtype=jnp.int32)
+    mark_owner = jnp.zeros((expand_capacity,), jnp.int32).at[dest].max(
+        ids + 1, mode="drop"
+    )
+    owner = jnp.maximum(jax.lax.cummax(mark_owner) - 1, 0)
+    mark_start = jnp.zeros((expand_capacity,), jnp.int32).at[dest].max(
+        starts, mode="drop"
+    )
+    local = slots - jax.lax.cummax(mark_start)
     valid = slots < total
     tri_base = lib.lod_index_offset[inst.mesh_id[owner], lod[owner]]
     tri_idx = jnp.where(valid, tri_base + local, 0)

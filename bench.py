@@ -56,6 +56,7 @@ def main():
         use_pallas=(platform == "tpu"),
         shading="pbr",
         enable_normal_maps=False,  # the scene carries no normal maps
+        trilinear=False,  # bilinear + nearest mip (GPU 'performance' filtering)
     )
     renderer = Renderer(scene, cfg, outputs=("image",))
 

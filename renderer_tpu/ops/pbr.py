@@ -82,6 +82,7 @@ def shade_pbr(
     full_height: int = None,
     enable_textures: bool = True,
     enable_normal_maps: bool = True,
+    trilinear: bool = True,
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
         SR_BASE,
@@ -133,7 +134,7 @@ def shade_pbr(
     nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
 
     if enable_textures:
-        bc = sample_atlas_cf(scene.atlas, bc_layer, u, v_, tex_lod)  # (4, H, W)
+        bc = sample_atlas_cf(scene.atlas, bc_layer, u, v_, tex_lod, trilinear=trilinear)
         albedo = base_factor * srgb_to_linear(bc[0:3])
     else:
         albedo = base_factor
@@ -142,7 +143,7 @@ def shade_pbr(
         t = tangent
         t = _normalize_cf(t - n_geom * _dot_cf(t, n_geom))
         b = _cross_cf(n_geom, t) * tan_w
-        nm = sample_atlas_cf(scene.atlas, nm_layer, u, v_, tex_lod)
+        nm = sample_atlas_cf(scene.atlas, nm_layer, u, v_, tex_lod, trilinear=trilinear)
         nx, ny, nz = nm[0] * 2 - 1, nm[1] * 2 - 1, nm[2] * 2 - 1
         n_mapped = _normalize_cf(t * nx[None] + b * ny[None] + n_geom * nz[None])
         n = jnp.where((nm_layer >= 0)[None], n_mapped, n_geom)

@@ -39,6 +39,7 @@ class PipelineConfig:
     skinning: bool = False    # enable the pose pass (LBS skinning + clips)
     enable_textures: bool = True
     enable_normal_maps: bool = True
+    trilinear: bool = True  # False = bilinear + nearest mip (half the taps)
     shadow_slots: int = 4     # atlas slots (ref: 4x4 atlas, shadow_mapping.rs)
     shadow_size: int = 512    # per-slot resolution (ref: 4096)
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
@@ -294,6 +295,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 shadow=shadow, background=cfg.background,
                 enable_textures=cfg.enable_textures,
                 enable_normal_maps=cfg.enable_normal_maps,
+                trilinear=cfg.trilinear,
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,

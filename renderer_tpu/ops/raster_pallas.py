@@ -4,7 +4,7 @@ Replaces the fixed-function rasterizer + early-z the reference gets from the
 GPU hardware (and its per-triangle cull kernel generate_work.comp) with a
 TPU-native design:
 
-- The framebuffer is processed in (TILE_H x TILE_W) = (16 x 128) pixel tiles,
+- The framebuffer is processed in (TILE_H x TILE_W) = (32 x 128) pixel tiles,
   one Pallas grid cell each — depth/id/bary accumulators live in VMEM for the
   whole tile (no HBM read-modify-write per triangle, the software analogue of
   tiled ROPs).
@@ -36,7 +36,7 @@ from renderer_tpu.ops.geometry import adjugate3, pixel_homogeneous
 from renderer_tpu.ops.raster_jax import VisibilityBuffer
 from renderer_tpu.ops.raster_spec import DEPTH_CLEAR, FRONT_DET_SIGN, NO_TRIANGLE
 
-TILE_H = 16
+TILE_H = 32
 TILE_W = 128
 # Triangles per bin/DMA unit. Small blocks + the Morton-sorted soup give
 # near per-triangle binning quality: a 32-triangle cluster of spatially

@@ -54,8 +54,8 @@ class PipelineConfig:
     def __post_init__(self):
         assert self.tri_capacity % 128 == 0, "tri_capacity must be 128-aligned"
         if self.use_pallas:
-            assert self.width % 128 == 0 and self.height % 16 == 0, (
-                "pallas raster needs width%128==0, height%16==0"
+            assert self.width % 128 == 0 and self.height % 32 == 0, (
+                "pallas raster needs width%128==0, height%32==0"
             )
             assert self.tri_capacity % 256 == 0
 

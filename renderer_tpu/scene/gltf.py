@@ -177,6 +177,139 @@ def _decompose_trs(m: np.ndarray):
     return t.astype(np.float32), quat, s
 
 
+def _node_trs(node):
+    """Static local TRS of a node -> (t (3,), r (w,x,y,z), s scalar)."""
+    if "matrix" in node:
+        return _decompose_trs(_node_matrix(node))
+    t = np.asarray(node.get("translation", [0, 0, 0]), np.float32)
+    rx = node.get("rotation", [0, 0, 0, 1])  # glTF xyzw
+    r = np.array([rx[3], rx[0], rx[1], rx[2]], np.float32)
+    s = float(np.mean(node.get("scale", [1, 1, 1])))
+    return t, r, s
+
+
+def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
+    """glTF skins + animations -> per-skin args for SceneBuilder.add_skinned_mesh.
+
+    Joints are reordered topologically (parent before child). Animations are
+    resampled to n_keys uniform keyframes (linear interp; STEP/CUBICSPLINE
+    approximated as linear). Assumes skeleton roots sit under an identity
+    world transform (non-joint transforms above the root are not folded in).
+    Returns {skin_index: {remap, parents, inverse_bind, key_times, key_t,
+    key_r, key_s}}.
+    """
+    nodes = doc.get("nodes", [])
+    parent_of = {}
+    for ni, node in enumerate(nodes):
+        for c in node.get("children", []):
+            parent_of[c] = ni
+
+    out = {}
+    for si, skin in enumerate(doc.get("skins", [])):
+        joints = list(skin["joints"])
+        jset = set(joints)
+        # topological order: parents (within the joint set) first
+        order = []
+        seen = set()
+
+        def add(nj):
+            if nj in seen:
+                return
+            p = parent_of.get(nj)
+            if p is not None and p in jset:
+                add(p)
+            seen.add(nj)
+            order.append(nj)
+
+        for nj in joints:
+            add(nj)
+        node_to_topo = {nj: k for k, nj in enumerate(order)}
+        remap = np.array([node_to_topo[nj] for nj in joints], np.int32)
+        parents = np.array(
+            [
+                node_to_topo.get(parent_of.get(nj, -1), -1)
+                if parent_of.get(nj) in jset
+                else -1
+                for nj in order
+            ],
+            np.int32,
+        )
+        j = len(order)
+        if "inverseBindMatrices" in skin:
+            ibm_raw = _read_accessor(doc, buffers, skin["inverseBindMatrices"])
+            ibm_gltf = ibm_raw.reshape(-1, 4, 4).transpose(0, 2, 1)  # col-major
+        else:
+            ibm_gltf = np.tile(np.eye(4, dtype=np.float32), (len(joints), 1, 1))
+        inverse_bind = np.tile(np.eye(4, dtype=np.float32), (j, 1, 1))
+        for local, nj in enumerate(joints):
+            inverse_bind[node_to_topo[nj]] = ibm_gltf[local]
+
+        # per-joint channels from the first animation touching this skin
+        chans = {}  # node -> {path: (times, values)}
+        for anim in doc.get("animations", []):
+            for ch in anim.get("channels", []):
+                tgt = ch.get("target", {})
+                nj = tgt.get("node")
+                if nj not in jset:
+                    continue
+                samp = anim["samplers"][ch["sampler"]]
+                times = _read_accessor(doc, buffers, samp["input"]).reshape(-1)
+                vals = _read_accessor(doc, buffers, samp["output"])
+                chans.setdefault(nj, {})[tgt["path"]] = (
+                    times.astype(np.float32), vals.astype(np.float32)
+                )
+            if chans:
+                break  # one clip per skin (multi-clip support: later)
+
+        duration = 1.0
+        for d in chans.values():
+            for times, _ in d.values():
+                duration = max(duration, float(times[-1]))
+        key_times = np.linspace(0.0, duration, n_keys, dtype=np.float32)
+        key_t = np.zeros((n_keys, j, 3), np.float32)
+        key_r = np.zeros((n_keys, j, 4), np.float32)
+        key_s = np.ones((n_keys, j), np.float32)
+
+        def resample(times, vals, t):
+            i = np.clip(np.searchsorted(times, t, side="right"), 1, len(times) - 1) if len(times) > 1 else 1
+            if len(times) == 1:
+                return vals[0]
+            t0, t1 = times[i - 1], times[i]
+            f = 0.0 if t1 <= t0 else np.clip((t - t0) / (t1 - t0), 0.0, 1.0)
+            return vals[i - 1] * (1 - f) + vals[i] * f
+
+        for nj in order:
+            k = node_to_topo[nj]
+            base_t, base_r, base_s = _node_trs(nodes[nj])
+            d = chans.get(nj, {})
+            for ki, t in enumerate(key_times):
+                if "translation" in d:
+                    key_t[ki, k] = resample(*d["translation"], t)
+                else:
+                    key_t[ki, k] = base_t
+                if "rotation" in d:
+                    q = resample(*d["rotation"], t)  # xyzw
+                    q = q / max(np.linalg.norm(q), 1e-8)
+                    key_r[ki, k] = [q[3], q[0], q[1], q[2]]
+                else:
+                    key_r[ki, k] = base_r
+                if "scale" in d:
+                    key_s[ki, k] = float(np.mean(resample(*d["scale"], t)))
+                else:
+                    key_s[ki, k] = base_s
+
+        out[si] = dict(
+            remap=remap,
+            parents=parents,
+            inverse_bind=inverse_bind,
+            key_times=key_times,
+            key_t=key_t,
+            key_r=key_r,
+            key_s=key_s,
+        )
+    return out
+
+
 def load_gltf(
     path: str,
     builder: Optional[SceneBuilder] = None,
@@ -240,9 +373,20 @@ def load_gltf(
     if not mat_ids and default_material:
         mat_ids = [b.add_material()]
 
+    # which skin (if any) each glTF mesh is used with (first-wins; per the
+    # spec, skinned meshes take their transform from the joints)
+    mesh_skin: dict[int, int] = {}
+    for node in doc.get("nodes", []):
+        if "mesh" in node and "skin" in node:
+            mesh_skin.setdefault(node["mesh"], node["skin"])
+
+    skin_args = _parse_skins_and_animations(
+        doc, buffers, n_keys=min(32, b.limits.max_keyframes)
+    )
+
     # meshes: one HostMesh per primitive; mesh index -> list of (mesh_id, mat)
     prim_table: list[list] = []
-    for mesh in doc.get("meshes", []):
+    for mesh_idx, mesh in enumerate(doc.get("meshes", [])):
         prims = []
         for prim in mesh["primitives"]:
             attrs = prim["attributes"]
@@ -273,7 +417,32 @@ def load_gltf(
             mid = mat_ids[mat] if mat is not None and mat < len(mat_ids) else (
                 mat_ids[0] if mat_ids else 0
             )
-            prims.append((b.add_mesh(hm), mid))
+            skin_idx = mesh_skin.get(mesh_idx)
+            if (
+                skin_idx is not None
+                and skin_idx in skin_args
+                and "JOINTS_0" in attrs
+                and "WEIGHTS_0" in attrs
+            ):
+                joints_raw = _read_accessor(doc, buffers, attrs["JOINTS_0"]).astype(np.int32)
+                weights = _read_accessor(doc, buffers, attrs["WEIGHTS_0"]).astype(np.float32)
+                wsum = weights.sum(axis=-1, keepdims=True)
+                weights = weights / np.where(wsum > 0, wsum, 1.0)
+                sa = skin_args[skin_idx]
+                mesh_id = b.add_skinned_mesh(
+                    hm,
+                    sa["remap"][joints_raw],  # glTF joint order -> topo order
+                    weights,
+                    sa["parents"],
+                    sa["inverse_bind"],
+                    sa["key_times"],
+                    sa["key_t"],
+                    sa["key_r"],
+                    sa["key_s"],
+                )
+            else:
+                mesh_id = b.add_mesh(hm)
+            prims.append((mesh_id, mid))
         prim_table.append(prims)
 
     # scene graph -> flattened instances
@@ -286,7 +455,11 @@ def load_gltf(
         node = nodes[node_idx]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
-            t, q, s = _decompose_trs(world)
+            if "skin" in node:
+                # skinned meshes take their transform from the joints (spec)
+                t, q, s = np.zeros(3, np.float32), np.array([1, 0, 0, 0], np.float32), 1.0
+            else:
+                t, q, s = _decompose_trs(world)
             for mesh_id, mat in prim_table[node["mesh"]]:
                 b.add_instance(mesh_id, mat, translation=t, rotation=q, scale=s)
         for child in node.get("children", []):

@@ -127,3 +127,81 @@ def test_node_hierarchy_and_matrix(tmp_path):
     np.testing.assert_allclose(inst["scale"], 2.0, atol=1e-5)
     # normals were generated for the position-only mesh
     assert np.isfinite(b._meshes[0].normals).all()
+
+
+def test_skinned_gltf_import(tmp_path):
+    """Hand-written glTF with a 2-joint skin + rotation animation: the loaded
+    scene's pose must match a manual numpy LBS."""
+    import json, base64
+
+    # two-segment bar along +Y, 6 verts, fully weighted to nearest joint
+    pos = np.array(
+        [[-0.1, 0, 0], [0.1, 0, 0], [-0.1, 1, 0], [0.1, 1, 0], [-0.1, 2, 0], [0.1, 2, 0]],
+        np.float32,
+    )
+    idx = np.array([[0, 1, 2], [1, 3, 2], [2, 3, 4], [3, 5, 4]], np.uint32)
+    joints = np.array([[0, 0, 0, 0]] * 2 + [[1, 0, 0, 0]] * 4, np.uint16)
+    weights = np.array([[1, 0, 0, 0]] * 6, np.float32)
+    # inverse bind: joint0 at origin, joint1 at y=1
+    ibm = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    ibm[1, 1, 3] = -1.0
+    ibm_cols = np.ascontiguousarray(ibm.transpose(0, 2, 1))  # column-major
+    # animation: joint1 rotates about Z, 2 keys (0 -> 90deg)
+    times = np.array([0.0, 1.0], np.float32)
+    rots = np.array([[0, 0, 0, 1], [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)]], np.float32)
+
+    blob = b"".join(
+        np.ascontiguousarray(a).tobytes()
+        for a in (pos, idx, joints, weights, ibm_cols, times, rots)
+    )
+    offs = np.cumsum([0] + [a.nbytes for a in (pos, idx, joints, weights, ibm_cols, times)])
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(blob), "uri": "data:application/octet-stream;base64," + base64.b64encode(blob).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": int(o), "byteLength": int(n)}
+            for o, n in zip(offs, [pos.nbytes, idx.nbytes, joints.nbytes, weights.nbytes, ibm_cols.nbytes, times.nbytes, rots.nbytes])
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 6, "type": "VEC3", "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5125, "count": 12, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5123, "count": 6, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5126, "count": 6, "type": "VEC4"},
+            {"bufferView": 4, "componentType": 5126, "count": 2, "type": "MAT4"},
+            {"bufferView": 5, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 6, "componentType": 5126, "count": 2, "type": "VEC4"},
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0, "JOINTS_0": 2, "WEIGHTS_0": 3}, "indices": 1}]}],
+        "skins": [{"joints": [1, 2], "inverseBindMatrices": 4}],
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"children": [2]},                      # joint0 (root)
+            {"translation": [0.0, 1.0, 0.0]},       # joint1
+        ],
+        "animations": [
+            {
+                "channels": [{"sampler": 0, "target": {"node": 2, "path": "rotation"}}],
+                "samplers": [{"input": 5, "output": 6, "interpolation": "LINEAR"}],
+            }
+        ],
+        "scenes": [{"nodes": [0, 1]}],
+        "scene": 0,
+    }
+    path = tmp_path / "skin.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+    b.add_light(position=(2, 3, 4), intensity=10.0)
+    scene = b.build()
+    assert int(scene.skins.count) == 1
+
+    from renderer_tpu.ops.skin import pose_scene
+
+    # just before t=1 (clips loop at exactly t=duration): joint1 rotated
+    # ~90deg about Z around pivot (0,1,0); tip (0.1,2,0) -> pivot + Rz90@(0.1,1,0)
+    posed = np.asarray(pose_scene(scene, 0.9999).meshes.positions)
+    vsel = np.asarray(scene.skins.vertex_skin) >= 0
+    tip = posed[vsel][5]  # vertex (0.1, 2, 0)
+    expect = np.array([0.0, 1.0, 0.0]) + np.array([-1.0, 0.1, 0.0])
+    np.testing.assert_allclose(tip, expect, atol=5e-3)
+    # base vertices (joint0, static) unchanged
+    np.testing.assert_allclose(posed[vsel][0], [-0.1, 0, 0], atol=1e-5)

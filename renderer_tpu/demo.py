@@ -68,8 +68,14 @@ def build_scene(name: str):
         b.add_instance(sph, shiny, translation=(-0.9, 0, 0), scale=1.1)
         b.add_instance(sph, metal, translation=(0.9, 0, 0), scale=1.1)
         b.add_instance(box, shiny, translation=(0, -0.1, -1.6))
+    elif name == "skinned":
+        from renderer_tpu.models.scenes import skinned_scene
+
+        return skinned_scene()
     else:
-        raise SystemExit(f"unknown scene {name!r} (try: box, spheres, mixed, textured)")
+        raise SystemExit(
+            f"unknown scene {name!r} (try: box, spheres, mixed, textured, skinned)"
+        )
     b.add_light(position=(3.0, 5.0, 4.0), intensity=30.0)
     b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35, shadow_slot=0)
     return b.build()
@@ -109,7 +115,7 @@ def main(argv=None):
         scene,
         PipelineConfig(
             width=args.size, height=args.size, tri_capacity=16384,
-            use_pallas=args.pallas,
+            use_pallas=args.pallas, skinning=(args.scene == "skinned"),
         ),
     )
     renderer.set_config(
@@ -135,14 +141,14 @@ def main(argv=None):
         return Camera.create(position=pos, rotation=rot, fov_y=0.9, near=0.1, far=100.0)
 
     t0 = time.time()
-    out = renderer.render(make_camera(args.orbit))
+    out = renderer.render(make_camera(args.orbit), time_s=0.0)
     jax.block_until_ready(out["image"])
     print(f"first frame (incl. compile): {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
 
     if args.frames > 1:
         t0 = time.time()
         for k in range(args.frames):
-            out = renderer.render(make_camera(args.orbit + 0.02 * k))
+            out = renderer.render(make_camera(args.orbit + 0.02 * k), time_s=k / 60.0)
         jax.block_until_ready(out["image"])
         dt = (time.time() - t0) / args.frames
         print(f"steady-state: {dt * 1e3:.1f} ms/frame ({1.0 / dt:.1f} FPS)")

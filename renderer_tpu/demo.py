@@ -93,6 +93,7 @@ def main(argv=None):
     ap.add_argument("--pallas", action="store_true", help="use the Pallas tile rasterizer")
     ap.add_argument("--shadows", action="store_true", help="shadow-mapped directional light")
     ap.add_argument("--occlusion", action="store_true", help="two-pass occlusion culling")
+    ap.add_argument("--rt", action="store_true", help="ray-traced shadows (small scenes)")
     ap.add_argument("--hud", action="store_true", help="print the stats HUD")
     ap.add_argument(
         "--dump-graphs", action="store_true",
@@ -120,7 +121,7 @@ def main(argv=None):
     )
     renderer.set_config(
         debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling,
-        shadows=args.shadows, occlusion_culling=args.occlusion,
+        shadows=args.shadows, occlusion_culling=args.occlusion, rt=args.rt,
     )
     renderer.config = renderer._pending_config  # apply immediately for the CLI
 

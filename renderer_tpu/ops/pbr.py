@@ -83,6 +83,7 @@ def shade_pbr(
     enable_textures: bool = True,
     enable_normal_maps: bool = True,
     trilinear: bool = True,
+    rt=None,  # (tri_world (T,3,3), tri_valid, count, rt_scale): ray shadows
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
         SR_BASE,
@@ -150,6 +151,15 @@ def shade_pbr(
     else:
         n = n_geom
 
+    rt_occ = None
+    if rt is not None:
+        from renderer_tpu.ops.rt import rt_shadow_planes
+
+        tri_w, tri_v, tri_count, rt_scale = rt
+        rt_occ = rt_shadow_planes(
+            world, n_geom, scene.lights, tri_w, tri_v, tri_count, rt_scale
+        )
+
     v = _normalize_cf(camera_pos[:, None, None] - world)
     lights = scene.lights
     color = albedo * ambient + emissive
@@ -164,6 +174,8 @@ def shade_pbr(
         l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
         atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
         radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)
+        if rt_occ is not None:
+            radiance = radiance * rt_occ[li : li + 1]
         if shadow is not None:
             from renderer_tpu.ops.shadow import shadow_occlusion
 

@@ -40,6 +40,7 @@ class PipelineConfig:
     enable_textures: bool = True
     enable_normal_maps: bool = True
     trilinear: bool = True  # False = bilinear + nearest mip (half the taps)
+    rt_scale: int = 2  # ray-traced shadow resolution divisor (rt switch)
     shadow_slots: int = 4     # atlas slots (ref: 4x4 atlas, shadow_mapping.rs)
     shadow_size: int = 512    # per-slot resolution (ref: 4096)
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
@@ -89,7 +90,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     # internal (supersampled) render resolution
     rw, rh = cfg.width * cfg.ssaa, cfg.height * cfg.ssaa
     g = FrameGraph("forward")
-    g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling")
+    g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling", "rt")
 
     g.resource("scene", external=True, desc="Scene pytree (SoA)")
     g.resource("camera", external=True, desc="Camera")
@@ -285,14 +286,14 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         )
         return {"shadow": (atlas, mats)}
 
-    def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None):
+    def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None, rt=None):
         vp_inv = prepared[7]
         if cfg.shading == "pbr":
             from renderer_tpu.ops.pbr import shade_pbr
 
             return shade_pbr(
                 vis, shade_rec, scene, camera.position, viewproj_inv=vp_inv,
-                shadow=shadow, background=cfg.background,
+                shadow=shadow, rt=rt, background=cfg.background,
                 enable_textures=cfg.enable_textures,
                 enable_normal_maps=cfg.enable_normal_maps,
                 trilinear=cfg.trilinear,
@@ -309,7 +310,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         "shade",
         reads=["vis", "soup", "shade_rec", "scene_view", "camera", "prepared"],
         writes=[img_res],
-        condition=["!debug_aabbs", "!shadows"],
+        condition=["!debug_aabbs", "!shadows", "!rt"],
     )
     def shade(vis, soup, shade_rec, scene_view, camera, prepared):
         return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared)}
@@ -318,10 +319,26 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         "shade_shadowed",
         reads=["vis", "soup", "shade_rec", "scene_view", "camera", "shadow", "prepared"],
         writes=[img_res],
-        condition=["!debug_aabbs", "shadows"],
+        condition=["!debug_aabbs", "shadows", "!rt"],
     )
     def shade_shadowed(vis, soup, shade_rec, scene_view, camera, shadow, prepared):
         return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared, shadow=shadow)}
+
+    @g.pass_(
+        "shade_rt",
+        reads=["vis", "soup", "shade_rec", "scene_view", "camera", "prepared"],
+        writes=[img_res],
+        condition=["!debug_aabbs", "rt"],
+    )
+    def shade_rt(vis, soup, shade_rec, scene_view, camera, prepared):
+        """RT switch: shadow-map lookups replaced by ray-traced shadows (the
+        reference's `rt` toggle swapping to ray-query, gltf_mesh.frag)."""
+        from renderer_tpu.ops.rt import triangles_world
+
+        vp_inv = prepared[7]
+        tri_w = triangles_world(soup.clip, vp_inv)
+        rt = (tri_w, soup.valid, soup.count, cfg.rt_scale)
+        return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared, rt=rt)}
 
     if cfg.ssaa > 1:
         @g.pass_("resolve", reads=["image_hires"], writes=["image"])

@@ -34,6 +34,7 @@ class RuntimeConfig:
     debug_aabbs: bool = False
     shadows: bool = False
     occlusion_culling: bool = False
+    rt: bool = False
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)

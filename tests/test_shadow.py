@@ -144,3 +144,35 @@ def test_point_light_shadow():
     assert diff.max() > 0.05, f"expected point-light shadow, max diff {diff.max()}"
     ys, xs = np.where(diff > 0.05)
     assert xs.mean() < 32, "shadow should fall on the -x side"
+
+
+def test_rt_shadows_match_shadow_maps():
+    """The rt switch's ray-traced shadows must agree with the shadow-map
+    result on a simple caster (the reference's RT-vs-atlas A/B)."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=10.0))
+    box = b.add_mesh(primitives.box())
+    b.add_instance(plane, b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0))
+    b.add_instance(box, b.add_material(base_color=(0.8, 0.2, 0.2, 1)), translation=(0, 0.8, 0))
+    b.add_light(position=(1.0, -1.0, 0.0), directional=True, intensity=3.0, shadow_slot=0)
+    scene = b.build()
+    cfg = PipelineConfig(width=64, height=64, tri_capacity=512, shading="pbr", rt_scale=1)
+
+    def run(**switches):
+        r = Renderer(scene, cfg)
+        r.set_config(**switches)
+        r.config = r._pending_config
+        return np.asarray(r.render(top_down_camera())["image"])
+
+    img_sm = run(shadows=True)
+    img_rt = run(rt=True)
+    img_lit = run()
+    # both shadowing modes darken the same region vs the unshadowed image
+    drop_sm = (img_lit - img_sm).mean(axis=-1)
+    drop_rt = (img_lit - img_rt).mean(axis=-1)
+    region = (slice(28, 36), slice(40, 48))
+    assert drop_sm[region].mean() > 0.05
+    assert drop_rt[region].mean() > 0.05
+    # shadow masks agree on most pixels (edge texels may differ)
+    agree = ((drop_sm > 0.03) == (drop_rt > 0.03)).mean()
+    assert agree > 0.97, f"rt vs shadow-map agreement {agree:.3f}"

@@ -105,7 +105,7 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
 MAX_BLOCKS_PER_TILE = 2048  # per-tile bin list cap (SMEM scratch = 8 KB)
 
 
-def _bin_blocks(bbox_ok, t_cap, width, height):
+def _bin_blocks(bbox_ok, t_cap, width, height, y0=0):
     """Block-granularity binning: per tile, the ascending list of triangle
     blocks whose bbox union overlaps the tile (padded, with counts).
 
@@ -126,7 +126,8 @@ def _bin_blocks(bbox_ok, t_cap, width, height):
     ty = jnp.arange(n_ty, dtype=jnp.float32)[:, None, None]
     tx = jnp.arange(n_tx, dtype=jnp.float32)[None, :, None]
     t_x0, t_x1 = tx * TILE_W, (tx + 1) * TILE_W
-    t_y0, t_y1 = ty * TILE_H, (ty + 1) * TILE_H
+    y0f = jnp.asarray(y0, jnp.float32)
+    t_y0, t_y1 = y0f + ty * TILE_H, y0f + (ty + 1) * TILE_H
     overlap = (
         bany[None, None, :]
         & (bxmin[None, None, :] <= t_x1)
@@ -164,6 +165,7 @@ def _raster_kernel(
     n_blocks: int,
     # scalar-prefetch inputs (SMEM, whole arrays)
     block_count_ref,  # (n_tiles,) i32; -1 = bin overflow, walk all blocks
+    y0_ref,  # (1,) i32 row offset (sharded-image support)
     # inputs
     block_list_hbm,  # (n_tiles, MAXB) i32, HBM
     tri_hbm,  # (ROWS, T) f32, HBM
@@ -209,6 +211,7 @@ def _raster_kernel(
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
         + ty.astype(jnp.float32) * TILE_H
+        + y0_ref[0].astype(jnp.float32)
         + 0.5
     )
 
@@ -293,7 +296,7 @@ def _raster_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "cull_backface", "interpret")
+    jax.jit, static_argnames=("width", "height", "cull_backface", "interpret", "full_height")
 )
 def rasterize_pallas(
     clip: jnp.ndarray,
@@ -303,27 +306,33 @@ def rasterize_pallas(
     cull_backface: bool = True,
     count=None,  # accepted for API parity; binning already skips dead blocks
     interpret: bool = False,
+    y0=0,  # may be traced: render rows [y0, y0+height) of a full_height image
+    full_height: int = None,
 ) -> VisibilityBuffer:
     """Drop-in replacement for ops.raster_jax.rasterize (same spec/outputs).
 
-    Requires width % 128 == 0 and height % 16 == 0 and T % 256 == 0.
+    Requires width % 128 == 0 and height % TILE_H == 0 and T % BLOCK == 0.
+    y0/full_height support row-sharded framebuffers (renderer_tpu.parallel).
     """
     del count
+    if full_height is None:
+        full_height = height
     t_cap = clip.shape[0]
     assert t_cap % BLOCK == 0, (t_cap, BLOCK)
     assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
     n_ty, n_tx = height // TILE_H, width // TILE_W
     n_blocks = t_cap // BLOCK
 
-    tri_data, bbox_ok = _setup_tri_data(clip, valid, width, height, cull_backface)
-    block_list, block_count = _bin_blocks(bbox_ok, t_cap, width, height)
+    tri_data, bbox_ok = _setup_tri_data(clip, valid, width, full_height, cull_backface)
+    # tile grid covers only this shard's rows, offset by y0 in pixel space
+    block_list, block_count = _bin_blocks(bbox_ok, t_cap, width, height, y0=y0)
 
     # per-tile bin counts ride scalar prefetch (tiny, SMEM-resident); the
     # bin LISTS live in HBM and are DMA'd per tile into SMEM scratch — lists
     # at 1080p scale (n_tiles x 1024 i32) far exceed the ~1 MB SMEM budget
     maxb = block_list.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # block lists, HBM
@@ -354,6 +363,7 @@ def rasterize_pallas(
         interpret=interpret,
     )(
         block_count.reshape(n_ty * n_tx),
+        jnp.asarray(y0, jnp.int32).reshape(1),
         block_list.reshape(n_ty * n_tx, maxb // 128, 128),
         tri_data,
     )

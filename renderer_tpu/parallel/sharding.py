@@ -35,6 +35,7 @@ def render_frame_spmd(
     tri_capacity_per_device: int = 2048,
     shading: str = "pbr",
     background=(0.05, 0.05, 0.08),
+    use_pallas: bool = False,  # Pallas raster per shard (y0-offset tiles)
 ):
     """One frame, SPMD over `mesh`'s single axis. Returns (image, vis) fully
     replicated... no: image is returned row-sharded (a pjit output with
@@ -110,15 +111,23 @@ def render_frame_spmd(
 
         # --- raster + shade (image-parallel): my rows only ----------------
         y0 = dev * rows
-        vis = rasterize(
-            full_soup.clip,
-            full_soup.valid,
-            width,
-            rows,
-            strip_rows=min(16, rows),
-            y0=y0,
-            full_height=height,
-        )
+        if use_pallas:
+            from renderer_tpu.ops.raster_pallas import rasterize_pallas
+
+            vis = rasterize_pallas(
+                full_soup.clip, full_soup.valid, width, rows,
+                y0=y0, full_height=height,
+            )
+        else:
+            vis = rasterize(
+                full_soup.clip,
+                full_soup.valid,
+                width,
+                rows,
+                strip_rows=min(16, rows),
+                y0=y0,
+                full_height=height,
+            )
         vp_inv = jnp.linalg.inv(vp)
         if shading == "pbr":
             from renderer_tpu.ops.pbr import shade_pbr

@@ -97,3 +97,25 @@ def test_multi_block_many_triangles():
     want = rasterize(jnp.asarray(clip), jnp.asarray(valid), 128, 64)
     assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all()
     np.testing.assert_allclose(np.asarray(got.depth), np.asarray(want.depth), atol=1e-6)
+
+
+def test_y0_sharded_rendering():
+    """Rendering row shards with y0 offsets reproduces the full image (the
+    multi-chip split-frame contract)."""
+    import numpy as np
+
+    cam = Camera.create(position=jnp.array([0.0, 0.3, 2.2]), near=0.1, far=20.0, aspect=2.0)
+    _, _, vp = camera_matrices(cam)
+    clip, valid = soup_from_meshes([(primitives.uv_sphere(rings=10, sectors=14), vp)])
+    full = rasterize_pallas(clip, valid, 128, 64, interpret=True)
+    top = rasterize_pallas(clip, valid, 128, 32, interpret=True, y0=0, full_height=64)
+    bot = rasterize_pallas(clip, valid, 128, 32, interpret=True, y0=32, full_height=64)
+    np.testing.assert_array_equal(
+        np.asarray(full.tri_id),
+        np.concatenate([np.asarray(top.tri_id), np.asarray(bot.tri_id)]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.depth),
+        np.concatenate([np.asarray(top.depth), np.asarray(bot.depth)]),
+        atol=1e-7,
+    )

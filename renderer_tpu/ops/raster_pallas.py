@@ -16,10 +16,12 @@ TPU-native design:
   with double-buffered DMAs, so HBM traffic and compute scale with
   coverage, not scene size. (True per-triangle binning lands on top of this;
   compacted soups are spatially coherent per mesh, so block bboxes are tight.)
-- Inside a block, triangles are processed one at a time: 3 edge-function
-  FMAs on the (16, 128) pixel tile (VPU-shaped), coverage mask with the
-  top-left rule, perspective z, depth-test select. ~60 VPU ops per
-  triangle-tile pair.
+- Inside a block, 8-triangle sublane groups are sliced from the VMEM record
+  buffer and each triangle's fields read with STATIC indices (Mosaic forbids
+  dynamic lane indexing); per triangle: 3 edge-function FMAs on the pixel
+  tile, top-left fill rule, perspective z, depth-test select.
+- Row shards: y0/full_height render a horizontal slice of a larger
+  framebuffer for multi-chip split-frame rendering (renderer_tpu.parallel).
 """
 
 from __future__ import annotations

@@ -148,17 +148,15 @@ def sponza_like_scene(
         ),
     ]
 
-    # LOD chains must share the mesh's vertex pool, so LODs decimate by
-    # dropping triangles (crude but exercises the LOD path end to end; a
-    # meshopt-class simplifier is a later milestone)
+    # LOD chains from the native grid-clustering simplifier (meshopt-parity)
     sph = primitives.uv_sphere(rings=16, sectors=24)
-    if with_lods:
-        sph.lods = [sph.indices[::2], sph.indices[::8]]
     tor = primitives.torus(rings=16, sides=10)
-    if with_lods:
-        tor.lods = [tor.indices[::2], tor.indices[::8]]
     box = primitives.box()
-    meshes = [b.add_mesh(box), b.add_mesh(sph), b.add_mesh(tor)]
+    meshes = [
+        b.add_mesh(box),
+        b.add_mesh(sph, auto_lods=with_lods),
+        b.add_mesh(tor, auto_lods=with_lods),
+    ]
 
     mats = [
         b.add_material(

@@ -78,9 +78,15 @@ class SceneBuilder:
         return self.atlas.add(img)
 
     # -- meshes ------------------------------------------------------------
-    def add_mesh(self, mesh: HostMesh) -> int:
+    def add_mesh(self, mesh: HostMesh, auto_lods: bool = False) -> int:
+        """auto_lods generates a simplified LOD chain with the native
+        grid-clustering simplifier (meshopt-parity; scene/simplify.py)."""
         if len(self._meshes) >= self.limits.max_meshes:
             raise ValueError("mesh library full")
+        if auto_lods and mesh.lods is None and len(mesh.indices) > 64:
+            from renderer_tpu.scene.simplify import build_lod_chain
+
+            mesh.lods = build_lod_chain(mesh.positions, mesh.indices)
         self._meshes.append(mesh)
         return len(self._meshes) - 1
 

@@ -71,3 +71,55 @@ def test_compact_under_jit_and_raster_count():
     vis_full = rasterize(out.clip, out.valid, 64, 64)
     np.testing.assert_array_equal(np.asarray(vis_bounded.tri_id), np.asarray(vis_full.tri_id))
     np.testing.assert_array_equal(np.asarray(vis_bounded.depth), np.asarray(vis_full.depth))
+
+
+def test_two_phase_matches_legacy_expansion():
+    """Property: the fused two-phase expand/cull/sort selects exactly the
+    same (instance, triangle) set as the legacy expand -> cull -> compact
+    path, on randomized scenes."""
+    import jax
+    from renderer_tpu.mathx.camera import Camera, camera_matrices
+    from renderer_tpu.ops import geometry
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        b = SceneBuilder(SceneLimits.tiny())
+        meshes = [
+            b.add_mesh(primitives.box()),
+            b.add_mesh(primitives.uv_sphere(rings=5, sectors=7)),
+        ]
+        m = b.add_material()
+        for i in range(12):
+            b.add_instance(
+                meshes[i % 2], m,
+                translation=tuple(rng.uniform(-6, 6, 3)),
+                scale=float(rng.uniform(0.4, 1.5)),
+            )
+        scene = b.build()
+        cam = Camera.create(position=jnp.array([0.0, 1.0, 6.0]), near=0.1, far=40.0)
+        model = geometry.instance_matrices(scene)
+        vp, clip_mats = geometry.camera_clip_matrices(cam, model)
+        visible = geometry.coarse_cull(scene, model, vp)
+        lod = geometry.select_lod(scene, cam, model)
+
+        fused = geometry.expand_cull_sort_two_phase(
+            scene, visible, lod, clip_mats, model, 2048, 1024, 128, 64
+        )
+        legacy = compact_soup(
+            geometry.cull_triangles(
+                geometry.expand_draw_stream(scene, visible, lod, clip_mats, model, 2048)
+            )
+        )
+        assert int(fused.count) == int(legacy.count)
+        n = int(fused.count)
+        # same (owner, tri) set (order differs: Morton vs stream order)
+        set_f = set(zip(np.asarray(fused.instance[:n]).tolist(), np.asarray(fused.tri_idx[:n]).tolist()))
+        set_l = set(zip(np.asarray(legacy.instance[:n]).tolist(), np.asarray(legacy.tri_idx[:n]).tolist()))
+        assert set_f == set_l
+        # clip positions agree for matching (owner, tri) pairs
+        key_f = {k: i for i, k in enumerate(zip(np.asarray(fused.instance[:n]).tolist(), np.asarray(fused.tri_idx[:n]).tolist()))}
+        cf = np.asarray(fused.clip[:n])
+        cl = np.asarray(legacy.clip[:n])
+        for i, k in enumerate(zip(np.asarray(legacy.instance[:n]).tolist(), np.asarray(legacy.tri_idx[:n]).tolist())):
+            np.testing.assert_allclose(cl[i], cf[key_f[k]], atol=1e-5)

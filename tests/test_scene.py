@@ -89,3 +89,51 @@ def test_builder_lods():
     # missing LODs fall back to last real one
     assert int(lib.lod_tri_count[mid, 5]) == len(half)
     assert int(lib.lod_index_offset[mid, 5]) == int(lib.lod_index_offset[mid, 1])
+
+
+def test_native_lod_simplifier():
+    """Grid-clustering LODs: valid indices into the original pool, strictly
+    decreasing triangle counts, non-degenerate, and they render."""
+    from renderer_tpu.scene.simplify import build_lod_chain, simplify
+
+    m = primitives.uv_sphere(rings=20, sectors=32)
+    chain = build_lod_chain(m.positions, m.indices)
+    assert len(chain) >= 2
+    prev = len(m.indices)
+    for idx in chain:
+        assert 0 < len(idx) < prev
+        assert idx.min() >= 0 and idx.max() < len(m.positions)
+        assert not np.any(
+            (idx[:, 0] == idx[:, 1]) | (idx[:, 1] == idx[:, 2]) | (idx[:, 0] == idx[:, 2])
+        )
+        prev = len(idx)
+    # coarse LOD keeps the rough shape: surface area within 40% of original
+    def area(indices):
+        p = m.positions
+        e1 = p[indices[:, 1]] - p[indices[:, 0]]
+        e2 = p[indices[:, 2]] - p[indices[:, 0]]
+        return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum()
+
+    a0, a2 = area(m.indices), area(chain[-1])
+    assert abs(a2 - a0) / a0 < 0.4, (a0, a2)
+
+
+def test_builder_auto_lods_render():
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+
+    b = SceneBuilder(SceneLimits.tiny())
+    sph = b.add_mesh(primitives.uv_sphere(rings=12, sectors=16), auto_lods=True)
+    m = b.add_material()
+    # distant instance -> non-zero LOD picked by select_lod (far enough to
+    # downshift, near enough that the mesh still covers pixels)
+    b.add_instance(sph, m, translation=(0, 0, -12.0), scale=1.5)
+    b.add_light(position=(2, 3, 4), intensity=20.0)
+    scene = b.build()
+    assert int(scene.meshes.lod_tri_count[sph, 2]) < int(scene.meshes.lod_tri_count[sph, 0])
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=1024))
+    out = r.render(Camera.create(position=jnp.array([0.0, 0.0, 3.0]), far=100.0))
+    assert (np.asarray(out["vis"].tri_id) != -1).sum() > 0

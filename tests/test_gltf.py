@@ -205,3 +205,64 @@ def test_skinned_gltf_import(tmp_path):
     np.testing.assert_allclose(tip, expect, atol=5e-3)
     # base vertices (joint0, static) unchanged
     np.testing.assert_allclose(posed[vsel][0], [-0.1, 0, 0], atol=1e-5)
+
+
+def test_gltf_texture_import(tmp_path):
+    """Embedded PNG textures land in the atlas and drive shading."""
+    import io, json, base64
+    from PIL import Image
+
+    # a 8x8 solid green PNG
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 1] = 255
+    img[..., 3] = 255
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    uv = box.uvs.astype(np.float32)
+    idx = box.indices.astype(np.uint32).reshape(-1, 1)
+    blob = pos.tobytes() + uv.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(blob), "uri": "data:application/octet-stream;base64," + base64.b64encode(blob).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": uv.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes + uv.nbytes, "byteLength": idx.nbytes},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(pos), "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5126, "count": len(uv), "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5125, "count": len(idx), "type": "SCALAR"},
+        ],
+        "images": [{"uri": "data:image/png;base64," + png_b64}],
+        "textures": [{"source": 0}],
+        "materials": [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}, "roughnessFactor": 1.0}}
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0, "TEXCOORD_0": 1}, "indices": 2, "material": 0}]}],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    path = tmp_path / "tex.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny(), atlas_size=8))
+    assert b._materials[0]["base_color_tex"] >= 0
+    b.add_light(position=(2, 3, 4), intensity=25.0)
+    scene = b.build()
+
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=256))
+    img_out = np.asarray(r.render(Camera.create(position=jnp.array([0.0, 0.4, 2.5])))["image"])
+    center = img_out[32, 32]
+    assert center[1] > 3 * max(center[0], center[2]), f"expected green, got {center}"

@@ -142,3 +142,45 @@ def test_projectile_churn():
     r = Renderer(ps.scene, PipelineConfig(width=64, height=64, tri_capacity=1024))
     out = r.render(cam())
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_camera_controller():
+    """Fly/walk camera math (parity with ecs/camera_controller.rs)."""
+    from renderer_tpu.runtime.camera_controller import CameraState, InputFrame, step, to_camera
+
+    s = CameraState(position=np.zeros(3, np.float32))
+    # looking -Z by default: W moves toward -Z
+    s2 = step(s, InputFrame(forward=1.0, speed=2.0), dt=0.5)
+    np.testing.assert_allclose(s2.position, [0, 0, -1.0], atol=1e-6)
+    # yaw 90deg left (look_dx negative = turn left? our convention: yaw -= dx)
+    s3 = step(s2, InputFrame(look_dx=-np.pi / 2), dt=0.1)
+    s4 = step(s3, InputFrame(forward=1.0, speed=1.0), dt=1.0)
+    # now facing -X... yaw=+pi/2: forward = (-sin(yaw), 0, -cos(yaw)) = (-1, 0, 0)
+    np.testing.assert_allclose(s4.position - s3.position, [-1, 0, 0], atol=1e-5)
+    # pitch clamp
+    s5 = step(s4, InputFrame(look_dy=-10.0), dt=0.1)
+    assert abs(s5.pitch) <= 1.55
+    # walk mode pins height
+    s5.fly_mode = False
+    s5.ground_y = 0.0
+    s5.pitch = -1.0
+    s6 = step(s5, InputFrame(forward=1.0, speed=1.0), dt=1.0)
+    assert s6.position[1] == 0.0
+    np.testing.assert_allclose(np.linalg.norm(s6.position - s5.position * [1, 0, 1]), 1.0, atol=1e-4)
+    # produces a renderable camera
+    cam = to_camera(s6)
+    assert cam.position.shape == (3,)
+
+
+def test_camera_controller_drives_renderer():
+    from renderer_tpu.runtime.camera_controller import CameraState, InputFrame, step, to_camera
+
+    scene = base_scene()
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=256))
+    s = CameraState(position=np.array([0.0, 0.5, 4.0], np.float32))
+    imgs = []
+    for _ in range(3):
+        s = step(s, InputFrame(forward=1.0, speed=6.0), dt=1 / 30)
+        imgs.append(np.asarray(r.render(to_camera(s))["image"]))
+    # moving toward the box changes the frame
+    assert np.abs(imgs[2] - imgs[0]).max() > 0.02

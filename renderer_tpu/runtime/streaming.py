@@ -142,8 +142,13 @@ class SceneStreamer:
         self._pending = still
 
         for _ in range(min(self.budget, len(self._ready))):
-            mesh, mat, t, r, s = self._ready.pop(0)
-            self._upload(mesh, mat, t, r, s)
+            item = self._ready.pop(0)
+            if item[0] == "texture":
+                _, layer, words = item
+                self._upload_texture(layer, words)
+            else:
+                mesh, mat, t, r, s = item
+                self._upload(mesh, mat, t, r, s)
             self.stats["uploaded"] += 1
         return self.scene
 
@@ -207,6 +212,70 @@ class SceneStreamer:
         self._t_off += tcnt
         self._mesh_slot += 1
         self._inst_slot += 1
+
+    # -- texture streaming -----------------------------------------------
+    def request_texture(self, img) -> int:
+        """Queue a texture for upload into a preallocated atlas layer (the
+        scene must have been built with SceneBuilder(..).build/preallocated
+        atlas slots). Returns the layer id to use in materials NOW — the
+        slot shows white until the upload lands."""
+        atlas = self.scene.atlas
+        n_total = atlas.packed_u32.shape[0]
+        # layer capacity from shapes: total = n_layers * sum(s_l^2)
+        import numpy as np
+
+        sizes = np.asarray(atlas.level_size)
+        per_layer = int((sizes.astype(np.int64) ** 2).sum())
+        n_layers = n_total // per_layer
+        if not hasattr(self, "_next_tex_layer"):
+            self._next_tex_layer = int(np.asarray(atlas.n_layers))
+        layer = self._next_tex_layer
+        if layer >= n_layers:
+            raise MemoryError("atlas layer slots exhausted during streaming")
+        self._next_tex_layer += 1
+        self.stats["requested"] += 1
+
+        def decode():
+            from renderer_tpu.scene.textures import build_mips
+
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                arr = np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+            if arr.shape[-1] == 3:
+                arr = np.concatenate(
+                    [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], axis=-1
+                )
+            size = int(sizes[0])
+            if arr.shape[:2] != (size, size):
+                from PIL import Image
+
+                arr = np.asarray(Image.fromarray(arr).resize((size, size), Image.BILINEAR))
+            mips = build_mips(arr)
+            words = []
+            for m in mips:
+                p = m.reshape(-1, 4).astype(np.uint32)
+                words.append(p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | (p[:, 3] << 24))
+            return ("texture", layer, words)
+
+        self._pending.append(self._pool.submit(decode))
+        return layer
+
+    def _upload_texture(self, layer: int, words: list) -> None:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        atlas = self.scene.atlas
+        offs = np.asarray(atlas.level_offset)
+        sizes = np.asarray(atlas.level_size)
+        packed = atlas.packed_u32
+        for l, w in enumerate(words):
+            s2 = int(sizes[l]) ** 2
+            start = int(offs[l]) + layer * s2
+            packed = jax.lax.dynamic_update_slice(
+                packed, jnp.asarray(w, jnp.uint32), (start,)
+            )
+        self.scene = self.scene._replace(atlas=atlas._replace(packed_u32=packed))
 
     def close(self):
         self._pool.shutdown(wait=False)

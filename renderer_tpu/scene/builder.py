@@ -196,9 +196,10 @@ class SceneBuilder:
         return len(self._lights) - 1
 
     # -- freeze ---------------------------------------------------------------
-    def build(self) -> Scene:
+    def build(self, texture_slots: int = None) -> Scene:
         """Consolidate into the fixed-capacity Scene pytree (numpy arrays;
-        jnp promotes on first device use)."""
+        jnp promotes on first device use). texture_slots preallocates extra
+        atlas layers for runtime texture streaming."""
         import jax.numpy as jnp
 
         lim = self.limits
@@ -304,5 +305,5 @@ class SceneBuilder:
 
         return Scene(
             meshes=meshes, instances=instances, materials=materials, lights=lights,
-            atlas=self.atlas.build(), skins=skins,
+            atlas=self.atlas.build(preallocate=texture_slots), skins=skins,
         )

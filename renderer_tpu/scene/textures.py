@@ -86,10 +86,16 @@ class TextureAtlasBuilder:
         self.layers.append(img)
         return len(self.layers) - 1
 
-    def build(self) -> TextureAtlas:
+    def build(self, preallocate: int = None) -> TextureAtlas:
+        """preallocate=N reserves N layer slots (white) so textures can be
+        streamed in at runtime (runtime/streaming.py request_texture)."""
         import jax.numpy as jnp
 
-        layers = self.layers or [np.full((self.size, self.size, 4), 255, np.uint8)]
+        layers = list(self.layers) or [np.full((self.size, self.size, 4), 255, np.uint8)]
+        n_real = len(self.layers)  # committed layers (placeholders excluded)
+        if preallocate is not None:
+            while len(layers) < preallocate:
+                layers.append(np.full((self.size, self.size, 4), 255, np.uint8))
         n = len(layers)
         chains = [build_mips(img) for img in layers]
         n_levels = len(chains[0])
@@ -116,7 +122,7 @@ class TextureAtlasBuilder:
             packed_u32=jnp.asarray(p32),
             level_offset=jnp.asarray(np.asarray(offsets, np.int32)),
             level_size=jnp.asarray(np.asarray(sizes, np.int32)),
-            n_layers=jnp.asarray(np.int32(n)),
+            n_layers=jnp.asarray(np.int32(n_real)),
         )
 
 

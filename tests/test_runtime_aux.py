@@ -184,3 +184,49 @@ def test_camera_controller_drives_renderer():
         imgs.append(np.asarray(r.render(to_camera(s))["image"]))
     # moving toward the box changes the frame
     assert np.abs(imgs[2] - imgs[0]).max() > 0.02
+
+
+def test_texture_streaming():
+    """Textures stream into preallocated atlas slots and take effect."""
+    import time
+
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=8)
+    pl = b.add_mesh(primitives.plane(size=8.0))
+    # material points at layer 0, which starts as a white placeholder
+    m = b.add_material(base_color=(1, 1, 1, 1), roughness=1.0, base_color_tex=0)
+    b.add_instance(pl, m)
+    b.add_light(position=(0, -1, 0), directional=True, intensity=3.0)
+    scene = b.build(texture_slots=2)
+
+    import jax.numpy as jnp
+
+    from renderer_tpu import mathx
+    from renderer_tpu.mathx.camera import Camera
+
+    cam = Camera.create(
+        position=jnp.array([0.0, 2.0, 0.0]),
+        rotation=mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -np.pi / 2),
+        near=0.1, far=50.0,
+    )
+    streamer = SceneStreamer(scene, budget=2)
+    cfg = PipelineConfig(width=32, height=32, tri_capacity=128)
+    r = Renderer(streamer.scene, cfg)
+    before = np.asarray(r.render(cam, scene=streamer.scene)["image"])[16, 16]
+
+    red = np.zeros((8, 8, 4), np.uint8)
+    red[..., 0] = 255
+    red[..., 3] = 255
+    layer = streamer.request_texture(red)
+    assert layer == 0 or layer >= 0
+    for _ in range(100):
+        time.sleep(0.02)
+        if all(f.done() for f in streamer._pending):
+            break
+    streamer.pump()
+    after = np.asarray(r.render(cam, scene=streamer.scene)["image"])[16, 16]
+    # white placeholder -> red texture
+    assert before[1] > 0.1 and abs(before[0] - before[1]) < 0.05
+    assert after[0] > 0.1 and after[1] < 0.05 * after[0] + 0.02, (before, after)
+    streamer.close()

@@ -94,6 +94,7 @@ def main(argv=None):
     ap.add_argument("--shadows", action="store_true", help="shadow-mapped directional light")
     ap.add_argument("--occlusion", action="store_true", help="two-pass occlusion culling")
     ap.add_argument("--rt", action="store_true", help="ray-traced shadows (small scenes)")
+    ap.add_argument("--ssaa", type=int, default=1, help="supersampling factor (MSAA parity)")
     ap.add_argument("--hud", action="store_true", help="print the stats HUD")
     ap.add_argument(
         "--dump-graphs", action="store_true",
@@ -117,6 +118,7 @@ def main(argv=None):
         PipelineConfig(
             width=args.size, height=args.size, tri_capacity=16384,
             use_pallas=args.pallas, skinning=(args.scene == "skinned"),
+            ssaa=args.ssaa,
         ),
     )
     renderer.set_config(

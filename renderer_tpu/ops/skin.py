@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from renderer_tpu.mathx.transforms import quat_to_mat3, trs_matrix
+from renderer_tpu.mathx.transforms import trs_matrix
 from renderer_tpu.scene.types import Scene, Skins
 
 

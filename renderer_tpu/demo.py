@@ -125,7 +125,7 @@ def main(argv=None):
         debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling,
         shadows=args.shadows, occlusion_culling=args.occlusion, rt=args.rt,
     )
-    renderer.config = renderer._pending_config  # apply immediately for the CLI
+    renderer.apply_config_now()  # apply immediately for the CLI
 
     if args.dump_graphs:
         from renderer_tpu.graph.dot import dump

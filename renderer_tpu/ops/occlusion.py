@@ -9,9 +9,13 @@ level whose texel covers the bbox — if the bbox's nearest depth is farther
 than the stored farthest occluder, the instance cannot be visible.
 
 Frame N-1 depth arrives through the frame graph's reads_prev mechanism
-(graph/core.py), so no host round-trips. Camera cuts make the test stale for
-one frame (conservative failure: objects pop IN, never missing — same
-guarantee real engines accept).
+(graph/core.py), so no host round-trips — and so does frame N-1's viewproj:
+instances are projected with the PREVIOUS camera, so the depth test happens
+in the space the depth buffer was rendered in. Under camera motion the test
+is therefore still exact for static geometry; moving OBJECTS can be one
+frame stale (conservative direction for approaching objects is not
+guaranteed, the standard trade-off of two-pass occlusion culling — disocclusion
+by a departing occluder pops the revealed object in one frame late).
 """
 
 from __future__ import annotations
@@ -39,18 +43,20 @@ def build_depth_pyramid(depth: jnp.ndarray, levels: int) -> list:
 def occlusion_cull(
     scene: Scene,
     model: jnp.ndarray,
-    viewproj: jnp.ndarray,
+    viewproj_prev: jnp.ndarray,  # frame N-1 viewproj (match prev_depth space)
     visible: jnp.ndarray,
     prev_depth: jnp.ndarray,  # (H, W) frame N-1 depth
     levels: int = 6,
 ) -> jnp.ndarray:
     """Refine the coarse-cull mask using last frame's depth pyramid.
 
-    Per instance: project the world AABB's 8 corners; take the screen bbox
-    and nearest NDC depth; pick the pyramid level whose texel covers the
-    bbox; one conservative 2x2-texel max lookup decides occlusion.
+    Per instance: project the world AABB's 8 corners WITH LAST FRAME'S
+    viewproj (the depth buffer's own space); take the screen bbox and
+    nearest NDC depth; pick the pyramid level whose texel covers the bbox;
+    one conservative 2x2-texel max lookup decides occlusion.
     Returns visible & ~occluded (N,).
     """
+    viewproj = viewproj_prev
     h, w = prev_depth.shape
     pyramid = build_depth_pyramid(prev_depth, levels)
 

@@ -112,6 +112,15 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         desc="visibility buffer (depth, tri_id, bary); persistent so frame "
         "N-1's depth feeds the occlusion-culling pyramid via reads_prev",
     )
+    g.resource(
+        "prev_vp",
+        persistent=True,
+        init=lambda: jnp.eye(4, dtype=jnp.float32),
+        desc="this frame's viewproj, persisted so occlusion culling can "
+        "reproject against frame N-1's depth in its own camera space "
+        "(identity init is safe: the initial depth buffer is all-far, so "
+        "nothing can be occlusion-culled on frame 1)",
+    )
     g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
     g.resource("image", desc="linear RGB framebuffer (output resolution)")
     if cfg.ssaa > 1:
@@ -128,7 +137,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         def pose(scene):
             return {"scene_view": scene}
 
-    @g.pass_("prepare", reads=["scene_view", "camera"], writes=["prepared"])
+    @g.pass_("prepare", reads=["scene_view", "camera"], writes=["prepared", "prev_vp"])
     def prepare(scene_view, camera):
         scene = scene_view
         import jax.numpy as jnp
@@ -150,7 +159,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         scene_max = jnp.max(jnp.where(alive, wmax, -big), axis=0)
         vp_inv = jnp.linalg.inv(vp)
         return {
-            "prepared": (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv)
+            "prepared": (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv),
+            "prev_vp": vp,
         }
 
     def _cull_body(scene, prepared, visible):
@@ -192,19 +202,20 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     @g.pass_(
         "cull_occluded",
         reads=["scene_view", "prepared"],
-        reads_prev=["vis"],
+        reads_prev=["vis", "prev_vp"],
         writes=["soup", "draw_list", "shade_rec"],
         condition=["!freeze_culling", "!debug_aabbs", "occlusion_culling"],
         queue="compute",
     )
-    def cull_occluded(scene_view, prepared, vis_prev):
+    def cull_occluded(scene_view, prepared, vis_prev, prev_vp_prev):
         """Two-pass occlusion culling: refine instance visibility against
-        frame N-1's depth pyramid (ops/occlusion.py)."""
+        frame N-1's depth pyramid, projected with frame N-1's viewproj
+        (ops/occlusion.py)."""
         from renderer_tpu.ops.occlusion import occlusion_cull
 
-        model, vp = prepared[0], prepared[1]
+        model = prepared[0]
         visible = occlusion_cull(
-            scene_view, model, vp, prepared[3], vis_prev.depth
+            scene_view, model, prev_vp_prev, prepared[3], vis_prev.depth
         )
         return _cull_body(scene_view, prepared, visible)
 

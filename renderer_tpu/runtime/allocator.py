@@ -10,15 +10,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
 
+from renderer_tpu.native.build import load_native
+
 _SRC = os.path.join(os.path.dirname(__file__), "..", "native", "arena.cc")
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native", "libarena.so")
-_lock = threading.Lock()
-_lib = None
 
 
 class ArenaStats(ctypes.Structure):
@@ -38,23 +35,9 @@ class ArenaStats(ctypes.Structure):
         return {name: getattr(self, name) for name, _ in self._fields_}
 
 
-def _build() -> str:
-    subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
-        check=True,
-        capture_output=True,
-    )
-    return _LIB_PATH
-
-
 def _load():
-    global _lib
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+    lib = load_native(_SRC)
+    if not hasattr(lib.rtpu_arena_create, "_rtpu_typed"):
         lib.rtpu_arena_create.restype = ctypes.c_void_p
         lib.rtpu_arena_create.argtypes = [ctypes.c_uint64]
         lib.rtpu_arena_destroy.argtypes = [ctypes.c_void_p]
@@ -63,8 +46,8 @@ def _load():
         lib.rtpu_arena_free.restype = ctypes.c_int
         lib.rtpu_arena_free.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.rtpu_arena_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ArenaStats)]
-        _lib = lib
-        return lib
+        lib.rtpu_arena_create._rtpu_typed = True
+    return lib
 
 
 class Arena:

@@ -36,6 +36,11 @@ def load_pytree(path: str, like):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected {np.shape(ref)}"
             )
+        ref_dtype = np.asarray(ref).dtype if not hasattr(ref, "dtype") else ref.dtype
+        if arr.dtype != ref_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} dtype {arr.dtype} != expected {ref_dtype}"
+            )
         new.append(arr)
     return jax.tree_util.tree_unflatten(treedef, new)
 

@@ -48,6 +48,9 @@ class Renderer:
         graph=None,
         outputs=("image", "vis"),
     ):
+        from renderer_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()  # crossbar analogue: warm process starts
         self.cfg = cfg or PipelineConfig()
         self.graph = graph or build_forward_graph(self.cfg)
         self.plans = PlanCache(self.graph, outputs=outputs)
@@ -67,6 +70,12 @@ class Renderer:
             if not hasattr(self._pending_config, k):
                 raise AttributeError(f"unknown runtime switch {k!r}")
             setattr(self._pending_config, k, bool(v))
+
+    def apply_config_now(self) -> None:
+        """Skip the two-frame latch (CLI/startup): copy pending -> active.
+        A COPY, not an alias — aliasing would let later set_config edits
+        mutate the live config mid-frame."""
+        self.config = dataclasses.replace(self._pending_config)
 
     def _jit_for(self, plan: CompiledPlan):
         key = tuple(sorted(plan.switches.items()))

@@ -2,14 +2,20 @@
 
 The reference streams glTF scenes with bevy task pools: parse/decode tasks
 off-thread, then `upload_loaded_meshes` integrates at most 8 meshes per frame
-into the consolidated buffers (scene_loader.rs:102-613, budget at :166).
+into the consolidated buffers (scene_loader.rs:102-613, budget at :166),
+with staging buffers destroyed a few frames later (deferred per swapchain
+slot, scene_loader.rs:588-613).
 
 TPU equivalent: decode (glTF parse, normal generation, texture resize) runs
-in a ThreadPoolExecutor; staging bytes live in the native arena
-(runtime/allocator.py) so repeated uploads reuse pinned host memory; `pump()`
-integrates up to `budget` decoded meshes per frame into the device Scene
-pytree through ONE pre-compiled donated upload program (dynamic_update_slice
-at traced offsets — no per-mesh recompiles).
+in a ThreadPoolExecutor; upload staging goes through the native arena
+(runtime/allocator.py) so repeated uploads reuse the same host memory, with
+frees deferred two pumps (the swapchain-slot deferral analogue — the H2D
+copy has certainly drained by then); `pump()` integrates up to `budget`
+decoded meshes per frame through pre-compiled DONATED upload programs
+(dynamic_update_slice at traced offsets — no per-mesh recompiles), looping
+the fixed-shape chunk program for meshes of any size. Textures land through
+one donated program updating every mip level in a single XLA computation
+(no full-atlas copies per mip).
 """
 
 from __future__ import annotations
@@ -24,47 +30,57 @@ import numpy as np
 from renderer_tpu.scene.builder import HostMesh
 from renderer_tpu.scene.types import Scene
 
-# streamed meshes are uploaded in fixed-size chunks so one compiled program
-# serves every upload (ref: fixed staging buffer sizes)
+# streamed meshes are uploaded in fixed-size chunks so a handful of compiled
+# programs serves every upload (ref: fixed staging buffer sizes); meshes
+# larger than a chunk loop the same program over consecutive chunks
 CHUNK_VERTS = 4096
 CHUNK_TRIS = 8192
 
 
 @functools.partial(jax.jit, donate_argnums=0)
-def _upload_chunk(
-    scene: Scene,
-    pos, nrm, uv, tan,  # (CHUNK_VERTS, ...) padded
-    idx,  # (CHUNK_TRIS, 3) library-global, padded
-    v_off, v_count, t_off, t_count,
-    mesh_slot, lod_offsets, lod_counts, aabb_min, aabb_max,
-    bump_counts,  # bool scalar: final chunk writes the directory
-):
+def _upload_vert_chunk(scene: Scene, pos, nrm, uv, tan, v_off):
     lib = scene.meshes
     du = jax.lax.dynamic_update_slice
-    new = lib._replace(
-        positions=du(lib.positions, pos, (v_off, 0)),
-        normals=du(lib.normals, nrm, (v_off, 0)),
-        uvs=du(lib.uvs, uv, (v_off, 0)),
-        tangents=du(lib.tangents, tan, (v_off, 0)),
-        indices=du(lib.indices, idx, (t_off, 0)),
+    return scene._replace(
+        meshes=lib._replace(
+            positions=du(lib.positions, pos, (v_off, 0)),
+            normals=du(lib.normals, nrm, (v_off, 0)),
+            uvs=du(lib.uvs, uv, (v_off, 0)),
+            tangents=du(lib.tangents, tan, (v_off, 0)),
+        )
     )
 
-    def finalize(lib2):
-        m = mesh_slot
-        return lib2._replace(
-            mesh_vertex_offset=lib2.mesh_vertex_offset.at[m].set(v_off),
-            mesh_vertex_count=lib2.mesh_vertex_count.at[m].set(v_count),
-            lod_index_offset=lib2.lod_index_offset.at[m].set(lod_offsets),
-            lod_tri_count=lib2.lod_tri_count.at[m].set(lod_counts),
-            mesh_aabb_min=lib2.mesh_aabb_min.at[m].set(aabb_min),
-            mesh_aabb_max=lib2.mesh_aabb_max.at[m].set(aabb_max),
-            vertex_count=jnp.maximum(lib2.vertex_count, v_off + v_count),
-            tri_count=jnp.maximum(lib2.tri_count, t_off + t_count),
-            mesh_count=jnp.maximum(lib2.mesh_count, m + 1),
-        )
 
-    new = jax.lax.cond(bump_counts, finalize, lambda x: x, new)
-    return scene._replace(meshes=new)
+@functools.partial(jax.jit, donate_argnums=0)
+def _upload_index_chunk(scene: Scene, idx, t_off):
+    lib = scene.meshes
+    return scene._replace(
+        meshes=lib._replace(
+            indices=jax.lax.dynamic_update_slice(lib.indices, idx, (t_off, 0))
+        )
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _finalize_mesh(
+    scene: Scene, mesh_slot, v_off, v_count, t_off, t_count,
+    lod_offsets, lod_counts, aabb_min, aabb_max,
+):
+    lib = scene.meshes
+    m = mesh_slot
+    return scene._replace(
+        meshes=lib._replace(
+            mesh_vertex_offset=lib.mesh_vertex_offset.at[m].set(v_off),
+            mesh_vertex_count=lib.mesh_vertex_count.at[m].set(v_count),
+            lod_index_offset=lib.lod_index_offset.at[m].set(lod_offsets),
+            lod_tri_count=lib.lod_tri_count.at[m].set(lod_counts),
+            mesh_aabb_min=lib.mesh_aabb_min.at[m].set(aabb_min),
+            mesh_aabb_max=lib.mesh_aabb_max.at[m].set(aabb_max),
+            vertex_count=jnp.maximum(lib.vertex_count, v_off + v_count),
+            tri_count=jnp.maximum(lib.tri_count, t_off + t_count),
+            mesh_count=jnp.maximum(lib.mesh_count, m + 1),
+        )
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -83,6 +99,18 @@ def _spawn_instance(scene: Scene, slot, mesh_id, material_id, translation, rotat
     )
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _upload_texture_mips(packed, level_offset, layer, *mips):
+    """Write one texture's full mip stack into its atlas layer in ONE donated
+    program: every dynamic_update_slice aliases the same donated buffer, so
+    there are zero full-atlas copies (mip sizes are static per atlas config,
+    so one compiled program serves every streamed texture)."""
+    for lvl, w in enumerate(mips):
+        start = level_offset[lvl] + layer * w.shape[0]
+        packed = jax.lax.dynamic_update_slice(packed, w, (start,))
+    return packed
+
+
 class SceneStreamer:
     """Streams meshes into a live Scene with a per-frame upload budget."""
 
@@ -97,7 +125,11 @@ class SceneStreamer:
         self._mesh_slot = int(scene.meshes.mesh_count)
         self._inst_slot = int(scene.instances.count)
         self.arena = arena
-        self.stats = {"requested": 0, "decoded": 0, "uploaded": 0, "frames": 0}
+        # arena blocks freed two pumps after their upload was issued (the
+        # deferred staging destruction of the reference, scene_loader.rs)
+        self._deferred_free: list[list[np.ndarray]] = [[], []]
+        self.stats = {"requested": 0, "decoded": 0, "uploaded": 0, "frames": 0,
+                      "chunks": 0}
 
     # -- producers ----------------------------------------------------------
     def request_mesh(self, source, material_id=0, translation=(0, 0, 0),
@@ -117,12 +149,6 @@ class SceneStreamer:
 
                 b = load_gltf(str(source), SceneBuilder(SceneLimits.tiny()))
                 mesh = b._meshes[0]
-            # stage through the arena when available (pinned reuse)
-            if self.arena is not None:
-                staged = self.arena.alloc(mesh.positions.shape, np.float32)
-                staged[:] = mesh.positions
-                mesh.positions = staged.copy()
-                self.arena.free(staged)
             return (mesh, material_id, translation, rotation, scale)
 
         self._pending.append(self._pool.submit(decode))
@@ -131,6 +157,11 @@ class SceneStreamer:
     def pump(self) -> Scene:
         """Integrate up to `budget` decoded meshes; returns the live scene."""
         self.stats["frames"] += 1
+        # retire staging blocks from two pumps ago
+        if self.arena is not None:
+            for blk in self._deferred_free.pop(0):
+                self.arena.free(blk)
+            self._deferred_free.append([])
         still = []
         for f in self._pending:
             if f.done():
@@ -151,52 +182,90 @@ class SceneStreamer:
             self.stats["uploaded"] += 1
         return self.scene
 
+    # -- staging ------------------------------------------------------------
+    def _stage(self, a: np.ndarray, n: int, tail: tuple) -> np.ndarray:
+        """A zero-padded (n, *tail) staging copy of `a`. Arena-backed when an
+        arena is attached (pinned host-memory reuse across uploads); the
+        device copy reads straight from the arena block, which is freed two
+        pumps later."""
+        if self.arena is not None:
+            buf = self.arena.alloc((n,) + tail, a.dtype)
+            self._deferred_free[-1].append(buf)
+        else:
+            buf = np.empty((n,) + tail, a.dtype)
+        buf[: len(a)] = a
+        buf[len(a):] = 0
+        return buf
+
     @staticmethod
     def _chunk_for(n, cap_left, biggest):
         """Smallest power-of-two tier >= n that still fits in cap_left.
         A handful of tiers keeps the set of compiled upload programs small;
-        exact-fit updates avoid dynamic_update_slice's silent clamping."""
+        when no tier fits but the data itself does, fall back to an
+        exact-fit chunk (one extra compile near capacity exhaustion beats a
+        spurious MemoryError with slots still free)."""
         for c in (256, 1024, biggest):
             if n <= c <= cap_left:
                 return c
+        if n <= cap_left:
+            return n
         return None
 
     def _upload(self, mesh: HostMesh, material_id, translation, rotation, scale):
         v = len(mesh.positions)
         tcnt = len(mesh.indices)
         lib = self.scene.meshes
-        if v > CHUNK_VERTS or tcnt > CHUNK_TRIS:
-            raise ValueError(
-                f"streamed mesh too large ({v} verts / {tcnt} tris; chunked "
-                "streaming of larger meshes is a later milestone)"
+        v_cap = lib.positions.shape[0]
+        t_cap = lib.indices.shape[0]
+        if self._v_off + v > v_cap or self._t_off + tcnt > t_cap:
+            raise MemoryError(
+                f"mesh library capacity exhausted during streaming "
+                f"({v} verts / {tcnt} tris vs {v_cap - self._v_off} / "
+                f"{t_cap - self._t_off} left)"
             )
-        chunk_v = self._chunk_for(v, lib.positions.shape[0] - self._v_off, CHUNK_VERTS)
-        chunk_t = self._chunk_for(tcnt, lib.indices.shape[0] - self._t_off, CHUNK_TRIS)
-        if chunk_v is None or chunk_t is None:
-            raise MemoryError("mesh library capacity exhausted during streaming")
 
-        def pad(a, n, shape_tail):
-            out = np.zeros((n,) + shape_tail, a.dtype)
-            out[: len(a)] = a
-            return out
+        # vertex chunks: full CHUNK_VERTS programs, tier-sized tail
+        off = 0
+        while off < v:
+            n = min(CHUNK_VERTS, v - off)
+            chunk = self._chunk_for(n, v_cap - (self._v_off + off), CHUNK_VERTS)
+            assert chunk is not None  # capacity checked above
+            self.scene = _upload_vert_chunk(
+                self.scene,
+                jnp.asarray(self._stage(mesh.positions[off:off + n], chunk, (3,))),
+                jnp.asarray(self._stage(mesh.normals[off:off + n], chunk, (3,))),
+                jnp.asarray(self._stage(mesh.uvs[off:off + n], chunk, (2,))),
+                jnp.asarray(self._stage(mesh.tangents[off:off + n], chunk, (4,))),
+                jnp.int32(self._v_off + off),
+            )
+            self.stats["chunks"] += 1
+            off += n
 
-        l = lib.lod_index_offset.shape[1]
-        lod_off = np.full((l,), self._t_off, np.int32)
-        lod_cnt = np.full((l,), tcnt, np.int32)
-        self.scene = _upload_chunk(
+        # index chunks (library-global vertex ids)
+        idx_global = mesh.indices.astype(np.int32) + self._v_off
+        off = 0
+        while off < tcnt:
+            n = min(CHUNK_TRIS, tcnt - off)
+            chunk = self._chunk_for(n, t_cap - (self._t_off + off), CHUNK_TRIS)
+            assert chunk is not None
+            self.scene = _upload_index_chunk(
+                self.scene,
+                jnp.asarray(self._stage(idx_global[off:off + n], chunk, (3,))),
+                jnp.int32(self._t_off + off),
+            )
+            self.stats["chunks"] += 1
+            off += n
+
+        n_lods = lib.lod_index_offset.shape[1]
+        self.scene = _finalize_mesh(
             self.scene,
-            jnp.asarray(pad(mesh.positions, chunk_v, (3,))),
-            jnp.asarray(pad(mesh.normals, chunk_v, (3,))),
-            jnp.asarray(pad(mesh.uvs, chunk_v, (2,))),
-            jnp.asarray(pad(mesh.tangents, chunk_v, (4,))),
-            jnp.asarray(pad(mesh.indices.astype(np.int32) + self._v_off, chunk_t, (3,))),
+            jnp.int32(self._mesh_slot),
             jnp.int32(self._v_off), jnp.int32(v),
             jnp.int32(self._t_off), jnp.int32(tcnt),
-            jnp.int32(self._mesh_slot),
-            jnp.asarray(lod_off), jnp.asarray(lod_cnt),
+            jnp.full((n_lods,), self._t_off, jnp.int32),
+            jnp.full((n_lods,), tcnt, jnp.int32),
             jnp.asarray(mesh.positions.min(axis=0)),
             jnp.asarray(mesh.positions.max(axis=0)),
-            jnp.bool_(True),
         )
         self.scene = _spawn_instance(
             self.scene,
@@ -221,8 +290,6 @@ class SceneStreamer:
         atlas = self.scene.atlas
         n_total = atlas.packed_u32.shape[0]
         # layer capacity from shapes: total = n_layers * sum(s_l^2)
-        import numpy as np
-
         sizes = np.asarray(atlas.level_size)
         per_layer = int((sizes.astype(np.int64) ** 2).sum())
         n_layers = n_total // per_layer
@@ -260,21 +327,24 @@ class SceneStreamer:
         return layer
 
     def _upload_texture(self, layer: int, words: list) -> None:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
         atlas = self.scene.atlas
-        offs = np.asarray(atlas.level_offset)
-        sizes = np.asarray(atlas.level_size)
-        packed = atlas.packed_u32
-        for l, w in enumerate(words):
-            s2 = int(sizes[l]) ** 2
-            start = int(offs[l]) + layer * s2
-            packed = jax.lax.dynamic_update_slice(
-                packed, jnp.asarray(w, jnp.uint32), (start,)
-            )
+        staged = []
+        for w in words:
+            buf = self._stage(w, len(w), ())
+            staged.append(jnp.asarray(buf))
+        packed = _upload_texture_mips(
+            atlas.packed_u32,
+            atlas.level_offset,
+            jnp.int32(layer),
+            *staged,
+        )
         self.scene = self.scene._replace(atlas=atlas._replace(packed_u32=packed))
 
     def close(self):
         self._pool.shutdown(wait=False)
+        if self.arena is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(self.scene))
+            for batch in self._deferred_free:
+                for blk in batch:
+                    self.arena.free(blk)
+            self._deferred_free = [[], []]

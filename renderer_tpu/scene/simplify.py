@@ -9,29 +9,17 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
 
+from renderer_tpu.native.build import load_native
+
 _SRC = os.path.join(os.path.dirname(__file__), "..", "native", "meshproc.cc")
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native", "libmeshproc.so")
-_lock = threading.Lock()
-_lib = None
 
 
 def _load():
-    global _lib
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
+    lib = load_native(_SRC)
+    if not hasattr(lib.rtpu_simplify_cluster, "_rtpu_typed"):
         lib.rtpu_simplify_cluster.restype = ctypes.c_int
         lib.rtpu_simplify_cluster.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -39,8 +27,8 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ]
-        _lib = lib
-        return lib
+        lib.rtpu_simplify_cluster._rtpu_typed = True
+    return lib
 
 
 def simplify(positions: np.ndarray, indices: np.ndarray, grid_size: int) -> np.ndarray:

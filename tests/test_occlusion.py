@@ -37,7 +37,7 @@ def run_frames(occlusion, frames=3):
     cfg = PipelineConfig(width=64, height=64, tri_capacity=512)
     r = Renderer(scene, cfg, outputs=("image", "vis", "soup"))
     r.set_config(occlusion_culling=occlusion)
-    r.config = r._pending_config
+    r.apply_config_now()
     cam = Camera.create(position=jnp.array([0.0, 0.0, 5.0]), near=0.1, far=50.0)
     out = None
     for _ in range(frames):
@@ -72,7 +72,7 @@ def test_visible_instance_never_culled():
     cfg = PipelineConfig(width=64, height=64, tri_capacity=512)
     r = Renderer(scene, cfg, outputs=("image", "vis", "soup"))
     r.set_config(occlusion_culling=True)
-    r.config = r._pending_config
+    r.apply_config_now()
     cam = Camera.create(position=jnp.array([0.0, 0.0, 5.0]), near=0.1, far=50.0)
     for _ in range(3):
         out = r.render(cam)

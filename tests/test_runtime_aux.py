@@ -60,19 +60,70 @@ def test_streaming_budget_and_render():
     streamer.close()
 
 
-def test_streaming_capacity_guard():
-    scene = base_scene()
-    streamer = SceneStreamer(scene, budget=8)
+def test_streaming_large_mesh_chunked():
+    """Meshes beyond CHUNK_VERTS stream by looping the fixed-shape donated
+    chunk program (ref: scene_loader.rs streams arbitrary glTFs)."""
+    from renderer_tpu.runtime.allocator import Arena
+    from renderer_tpu.runtime.streaming import CHUNK_VERTS
+
+    b = SceneBuilder(SceneLimits.tiny()._replace(max_vertices=16384, max_triangles=16384))
+    box = b.add_mesh(primitives.box())
+    m = b.add_material(base_color=(0.7, 0.7, 0.7, 1))
+    b.add_instance(box, m)
+    b.add_light(position=(2, 3, 4), intensity=20.0)
+    scene = b.build()
+    arena = Arena(16 << 20)
+    streamer = SceneStreamer(scene, budget=8, arena=arena)
     big = primitives.uv_sphere(rings=64, sectors=96)  # > CHUNK_VERTS
-    streamer.request_mesh(big)
+    n_v, n_t = len(big.positions), len(big.indices)
+    assert n_v > CHUNK_VERTS
+    streamer.request_mesh(big, translation=(0, 0, -1.0), scale=0.8)
     import time
 
     for _ in range(100):
         time.sleep(0.02)
         if all(f.done() for f in streamer._pending):
             break
-    with pytest.raises(ValueError, match="too large"):
-        streamer.pump()
+    s = streamer.pump()
+    assert streamer.stats["uploaded"] == 1
+    assert streamer.stats["chunks"] >= 2  # actually chunked
+    lib = s.meshes
+    assert int(lib.mesh_vertex_count[1]) == n_v
+    assert int(lib.lod_tri_count[1, 0]) == n_t
+    # round-trip: the chunked upload preserved the vertex data exactly
+    off = int(lib.mesh_vertex_offset[1])
+    np.testing.assert_array_equal(
+        np.asarray(lib.positions[off:off + n_v]), big.positions
+    )
+    # arena staging is live, frees deferred two pumps
+    assert arena.stats()["live_allocs"] > 0
+    streamer.pump(); streamer.pump()
+    assert arena.stats()["live_allocs"] == 0
+
+    # the streamed sphere renders
+    r = Renderer(s, PipelineConfig(width=64, height=64, tri_capacity=8192))
+    out = r.render(cam())
+    cov = (np.asarray(out["vis"].tri_id) != -1).mean()
+    assert cov > 0.05
+    streamer.close()
+    arena.close()
+
+
+def test_streaming_capacity_guard():
+    """Exhausting the mesh library raises MemoryError (not silent clamping)."""
+    scene = base_scene()
+    streamer = SceneStreamer(scene, budget=8)
+    v_cap = scene.meshes.positions.shape[0]
+    n = 0
+    with pytest.raises(MemoryError, match="capacity exhausted"):
+        while True:
+            streamer._upload(
+                primitives.uv_sphere(rings=12, sectors=16), 0, (0, 0, 0),
+                (1, 0, 0, 0), 1.0,
+            )
+            n += 1
+            assert n < 10_000
+    assert streamer._v_off <= v_cap
     streamer.close()
 
 

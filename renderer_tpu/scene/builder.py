@@ -205,8 +205,10 @@ class SceneBuilder:
         lim = self.limits
         L = MeshLibrary.MAX_LODS
 
-        lib = {k: np.asarray(v) for k, v in MeshLibrary.empty(lim)._asdict().items()}
-        lib = {k: np.array(v) for k, v in lib.items()}
+        lib = {
+            k: (np.array(v) if v is not None else None)
+            for k, v in MeshLibrary.empty(lim)._asdict().items()
+        }
 
         voff = 0
         toff = 0
@@ -240,7 +242,20 @@ class SceneBuilder:
         lib["vertex_count"] = np.int32(voff)
         lib["tri_count"] = np.int32(toff)
         lib["mesh_count"] = np.int32(len(self._meshes))
-        meshes = MeshLibrary(**{k: jnp.asarray(v) for k, v in lib.items()})
+        if lib["tri_rec"] is not None and toff > 0:
+            idx = lib["indices"][:toff]
+            lib["tri_rec"][:toff] = np.concatenate(
+                [
+                    lib["positions"][idx].reshape(toff, 9),
+                    lib["normals"][idx].reshape(toff, 9),
+                    lib["uvs"][idx].reshape(toff, 6),
+                    lib["tangents"][idx].reshape(toff, 12),
+                ],
+                axis=1,
+            )
+        meshes = MeshLibrary(
+            **{k: (jnp.asarray(v) if v is not None else None) for k, v in lib.items()}
+        )
 
         inst = {k: np.array(v) for k, v in Instances.empty(lim)._asdict().items()}
         for i, d in enumerate(self._instances):

@@ -50,6 +50,15 @@ class SceneLimits(NamedTuple):
         )
 
 
+# tri_rec column layout
+TR_POS = 0
+TR_NRM = 9
+TR_UV = 18
+TR_TAN = 24
+TR_COLS = 36
+TRI_REC_MAX_BYTES = 1 << 28  # 256 MB (512 B padded row per triangle slot)
+
+
 class MeshLibrary(NamedTuple):
     """Consolidated mesh megabuffers + per-mesh directory.
 
@@ -80,6 +89,13 @@ class MeshLibrary(NamedTuple):
     lod_tri_count: jnp.ndarray       # (M, MAX_LODS) i32
     mesh_aabb_min: jnp.ndarray       # (M, 3) f32, object space
     mesh_aabb_max: jnp.ndarray       # (M, 3) f32
+    # (T, 36) f32 per-TRIANGLE packed corner attributes
+    # [pos c0..c2 (9) | nrm (9) | uv (6) | tan xyzw (12)] — one wide row
+    # gather replaces 4+ narrow vertex gathers in draw-stream expansion
+    # (TPU gathers are index-rate-bound; see PERF.md). None when the
+    # capacity would exceed TRI_REC_MAX_BYTES (rows pad to 512 B physical).
+    # Invalidated (None) by the pose pass for skinned scene views.
+    tri_rec: jnp.ndarray = None
 
     @staticmethod
     def empty(limits: SceneLimits) -> "MeshLibrary":
@@ -101,6 +117,11 @@ class MeshLibrary(NamedTuple):
             lod_tri_count=jnp.zeros((M, L), i32),
             mesh_aabb_min=jnp.zeros((M, 3), f32),
             mesh_aabb_max=jnp.zeros((M, 3), f32),
+            tri_rec=(
+                jnp.zeros((T, TR_COLS), f32)
+                if T * 512 <= TRI_REC_MAX_BYTES
+                else None
+            ),
         )
 
 

@@ -123,3 +123,61 @@ def test_two_phase_matches_legacy_expansion():
         cl = np.asarray(legacy.clip[:n])
         for i, k in enumerate(zip(np.asarray(legacy.instance[:n]).tolist(), np.asarray(legacy.tri_idx[:n]).tolist())):
             np.testing.assert_allclose(cl[i], cf[key_f[k]], atol=1e-5)
+
+
+def test_build_draw_stream_matches_legacy():
+    """The fused column-math build (wide tri-record gather + fused shade
+    records) selects exactly the legacy path's (instance, triangle) set and
+    produces matching shade records per pair."""
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.ops import geometry
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    rng = np.random.default_rng(23)
+    b = SceneBuilder(SceneLimits.tiny())
+    meshes = [
+        b.add_mesh(primitives.box()),
+        b.add_mesh(primitives.uv_sphere(rings=5, sectors=7)),
+    ]
+    m0 = b.add_material(base_color=(0.9, 0.4, 0.2, 1.0), roughness=0.3, metallic=1.0)
+    m1 = b.add_material(base_color=(0.2, 0.5, 0.9, 1.0), roughness=0.8)
+    for i in range(14):
+        b.add_instance(
+            meshes[i % 2], m0 if i % 3 else m1,
+            translation=tuple(rng.uniform(-6, 6, 3)),
+            scale=float(rng.uniform(0.4, 1.5)),
+        )
+    scene = b.build()
+    assert scene.meshes.tri_rec is not None
+    cam = Camera.create(position=jnp.array([0.0, 1.0, 6.0]), near=0.1, far=40.0)
+    model = geometry.instance_matrices(scene)
+    vp, clip_mats = geometry.camera_clip_matrices(cam, model)
+    visible = geometry.coarse_cull(scene, model, vp)
+    lod = geometry.select_lod(scene, cam, model)
+
+    soup, rec = geometry.build_draw_stream(
+        scene, visible, lod, clip_mats, model, 2048, 1024, 128, 64,
+        want_soup_attrs=True,
+    )
+    legacy = compact_soup(
+        geometry.cull_triangles(
+            geometry.expand_draw_stream(scene, visible, lod, clip_mats, model, 2048)
+        )
+    )
+    legacy = geometry.finalize_tex_lod(legacy, 128, 64, scene.atlas.level_size[0])
+    legacy_rec = geometry.build_shade_records(legacy, scene)
+
+    n = int(soup.count)
+    assert n == int(legacy.count) and n > 0
+    pairs_f = list(zip(np.asarray(soup.instance[:n]).tolist(), np.asarray(soup.tri_idx[:n]).tolist()))
+    pairs_l = list(zip(np.asarray(legacy.instance[:n]).tolist(), np.asarray(legacy.tri_idx[:n]).tolist()))
+    assert set(pairs_f) == set(pairs_l)
+    where_f = {k: i for i, k in enumerate(pairs_f)}
+    rec_f = np.asarray(rec[:n])
+    rec_l = np.asarray(legacy_rec[:n])
+    clip_f = np.asarray(soup.clip[:n])
+    clip_l = np.asarray(legacy.clip[:n])
+    for i, k in enumerate(pairs_l):
+        j = where_f[k]
+        np.testing.assert_allclose(clip_l[i], clip_f[j], atol=1e-5)
+        np.testing.assert_allclose(rec_l[i], rec_f[j], rtol=1e-4, atol=1e-4)

@@ -386,18 +386,24 @@ def expand_cull_sort_two_phase(
 
 def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray) -> list:
     """12 clip columns [c0:x,y,z,w, c1:..., c2:...] from tri records (E, 36)
-    and flat per-triangle clip matrices (E, 16)."""
+    and flat per-triangle clip matrices (E, 16).
+
+    Both tables are transposed ONCE so every column read is a contiguous
+    (E,) row slice — narrow (E, k) arrays pad their minor dim to 128 lanes
+    physically, so repeated column *slices* of the untransposed form would
+    each re-scan the padded table."""
     from renderer_tpu.scene.types import TR_POS
 
+    rt = rec.T  # (36, E)
+    mt = mm.T   # (16, E)
     cols = []
     for c in range(3):
-        x = rec[:, TR_POS + 3 * c]
-        y = rec[:, TR_POS + 3 * c + 1]
-        z = rec[:, TR_POS + 3 * c + 2]
+        x = rt[TR_POS + 3 * c]
+        y = rt[TR_POS + 3 * c + 1]
+        z = rt[TR_POS + 3 * c + 2]
         for i in range(4):
             cols.append(
-                mm[:, 4 * i] * x + mm[:, 4 * i + 1] * y + mm[:, 4 * i + 2] * z
-                + mm[:, 4 * i + 3]
+                mt[4 * i] * x + mt[4 * i + 1] * y + mt[4 * i + 2] * z + mt[4 * i + 3]
             )
     return cols
 
@@ -467,7 +473,9 @@ def build_draw_stream(
             expand_capacity, out_capacity, width, height,
             cull_backface=cull_backface,
         )
-        return soup, build_shade_records(soup, scene)
+        # render_size packs SR_EDGE so shading can derive barycentrics from
+        # records on this path too
+        return soup, build_shade_records(soup, scene, render_size=(width, height))
 
     from renderer_tpu.ops.cull import _morton2d
 
@@ -529,43 +537,44 @@ def build_draw_stream(
     out_valid = jnp.arange(out_capacity, dtype=jnp.int32) < count
 
     # --- phase B: records for the surviving prefix --------------------------
-    clip_flat = jnp.stack(cc, axis=-1)  # (E, 12), corner-major
-    clip_s = clip_flat[perm]  # (T, 12)
     owner_s = owner[perm]
     tri_s = tri_idx[perm]
     rec_s = lib.tri_rec[tri_s]  # (T, 36)
-    mm_s = model.reshape(n, 16)[owner_s]  # (T, 16) model matrices
+    # recompute survivor clip from the same inputs with the same op order
+    # (bit-identical with phase A; avoids materializing + permuting a lane-
+    # padded (E, 12) intermediate)
+    ccs = _clip_cols(rec_s, clip_mats.reshape(n, 16)[owner_s])
+    rt_s = rec_s.T  # (36, T) — row reads are free
+    mt_s = model.reshape(n, 16)[owner_s].T  # (16, T)
 
     def rot3(base, stride):
-        """Rotate 3 corner vectors rec_s[:, base + stride*c : +3] by the
-        model linear part -> 9 columns (corner-major xyz)."""
+        """Rotate 3 corner vectors by the model linear part -> 9 columns
+        (corner-major xyz)."""
         cols = []
         for c in range(3):
-            vx = rec_s[:, base + stride * c]
-            vy = rec_s[:, base + stride * c + 1]
-            vz = rec_s[:, base + stride * c + 2]
+            vx = rt_s[base + stride * c]
+            vy = rt_s[base + stride * c + 1]
+            vz = rt_s[base + stride * c + 2]
             for i in range(3):
                 cols.append(
-                    mm_s[:, 4 * i] * vx + mm_s[:, 4 * i + 1] * vy + mm_s[:, 4 * i + 2] * vz
+                    mt_s[4 * i] * vx + mt_s[4 * i + 1] * vy + mt_s[4 * i + 2] * vz
                 )
         return cols
 
     wnrm = rot3(TR_NRM, 3)
     wtan = rot3(TR_TAN, 4)
-    uv_cols = [rec_s[:, TR_UV + k] for k in range(6)]
+    uv_cols = [rt_s[TR_UV + k] for k in range(6)]
     # interleave tangent xyz with handedness w -> xyzw per corner
     tan_cols = []
     for c in range(3):
-        tan_cols += wtan[3 * c : 3 * c + 3] + [rec_s[:, TR_TAN + 4 * c + 3]]
+        tan_cols += wtan[3 * c : 3 * c + 3] + [rt_s[TR_TAN + 4 * c + 3]]
 
     # per-triangle texture LOD (same formula as finalize_tex_lod)
-    sw = [jnp.where(jnp.abs(clip_s[:, 4 * c + 3]) > 1e-9, clip_s[:, 4 * c + 3], 1e-9)
+    sw = [jnp.where(jnp.abs(ccs[4 * c + 3]) > 1e-9, ccs[4 * c + 3], 1e-9)
           for c in range(3)]
-    ok_w = (
-        (clip_s[:, 3] > 1e-9) & (clip_s[:, 7] > 1e-9) & (clip_s[:, 11] > 1e-9)
-    )
-    spx = [(clip_s[:, 4 * c] / sw[c] + 1.0) * (0.5 * width) for c in range(3)]
-    spy = [(1.0 - clip_s[:, 4 * c + 1] / sw[c]) * (0.5 * height) for c in range(3)]
+    ok_w = (ccs[3] > 1e-9) & (ccs[7] > 1e-9) & (ccs[11] > 1e-9)
+    spx = [(ccs[4 * c] / sw[c] + 1.0) * (0.5 * width) for c in range(3)]
+    spy = [(1.0 - ccs[4 * c + 1] / sw[c]) * (0.5 * height) for c in range(3)]
     a_px = jnp.abs(
         (spx[1] - spx[0]) * (spy[2] - spy[0]) - (spx[2] - spx[0]) * (spy[1] - spy[0])
     )
@@ -593,18 +602,45 @@ def build_draw_stream(
     inst_mat = mat_rec[inst.material_id]  # (N, 11)
     mat = inst_mat[owner_s]  # (T, 11)
 
+    # edge coefficients (SR_EDGE): adj(M) rows = cross products of the other
+    # two pixel-homogeneous columns; shading divides λ_i by Σλ so any common
+    # scale (including facing sign) cancels
+    hw, hh = 0.5 * width, 0.5 * height
+    uvec = [
+        (
+            (ccs[4 * c] + ccs[4 * c + 3]) * hw,
+            (ccs[4 * c + 3] - ccs[4 * c + 1]) * hh,
+            ccs[4 * c + 3],
+        )
+        for c in range(3)
+    ]
+
+    def cross_cols(a, b):
+        return [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+
+    edge_cols = (
+        cross_cols(uvec[1], uvec[2])
+        + cross_cols(uvec[2], uvec[0])
+        + cross_cols(uvec[0], uvec[1])
+    )
+
     cols = (
         wnrm + uv_cols + tan_cols
         + [tex_lod, owner_s.astype(jnp.float32)]
         + [mat[:, k] for k in range(11)]
+        + edge_cols
     )
-    srec = jnp.stack(cols, axis=-1)  # (T, 40) in SR_* order
+    srec = jnp.stack(cols, axis=-1)  # (T, 49) in SR_* order
     shade_rec = jnp.concatenate(
         [srec, jnp.zeros((out_capacity, SR_COLS - srec.shape[-1]), jnp.float32)],
         axis=-1,
     )
 
-    clip = clip_s.reshape(out_capacity, 3, 4)
+    clip = jnp.stack(ccs, axis=-1).reshape(out_capacity, 3, 4)
     if want_soup_attrs:
         normal = jnp.stack(wnrm, axis=-1).reshape(out_capacity, 3, 3)
         uv = jnp.stack(uv_cols, axis=-1).reshape(out_capacity, 3, 2)
@@ -644,12 +680,22 @@ SR_ROUGH = 34
 SR_EMISSIVE = 35  # 35..37
 SR_BC_LAYER = 38
 SR_NM_LAYER = 39
+# 40..48: oriented edge coefficients (e0:a,b,c, e1:..., e2:...) at render
+# resolution — lets deferred shading re-derive barycentrics per pixel from
+# the record row it already gathers, so the raster kernel stores only
+# depth+id (visibility-buffer style). λ/Σλ is scale-invariant, so no
+# facing-sign fixup is needed.
+SR_EDGE = 40
 SR_COLS = 128
 
 
-def build_shade_records(soup: TriangleSoup, scene: Scene) -> jnp.ndarray:
+def build_shade_records(
+    soup: TriangleSoup, scene: Scene, render_size=None
+) -> jnp.ndarray:
     """(T, 128) f32 shade records (see column table above). Built AFTER
-    compaction so nothing moves twice."""
+    compaction so nothing moves twice. render_size=(width, height) also
+    packs SR_EDGE coefficients (needed when shading derives barycentrics
+    from records — the Pallas depth+id-only raster path)."""
     t_cap = soup.instance.shape[0]
     mat_id = scene.instances.material_id[soup.instance]
     mats = scene.materials
@@ -666,6 +712,13 @@ def build_shade_records(soup: TriangleSoup, scene: Scene) -> jnp.ndarray:
         mats.base_color_tex[mat_id][:, None].astype(jnp.float32),
         mats.normal_tex[mat_id][:, None].astype(jnp.float32),
     ]
+    if render_size is not None:
+        w, h = render_size
+        u = pixel_homogeneous(soup.clip, w, h)  # (T, 3v, 3)
+        e0 = jnp.cross(u[:, 1], u[:, 2])
+        e1 = jnp.cross(u[:, 2], u[:, 0])
+        e2 = jnp.cross(u[:, 0], u[:, 1])
+        cols.append(jnp.concatenate([e0, e1, e2], axis=-1))
     rec = jnp.concatenate(cols, axis=-1)
     pad = SR_COLS - rec.shape[-1]
     return jnp.concatenate([rec, jnp.zeros((t_cap, pad), jnp.float32)], axis=-1)

@@ -14,6 +14,7 @@ Shadow terms plug in via ops/shadow.py; `shadow=None` means fully lit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from renderer_tpu.ops.geometry import TriangleSoup
@@ -84,10 +85,12 @@ def shade_pbr(
     enable_normal_maps: bool = True,
     trilinear: bool = True,
     rt=None,  # (tri_world (T,3,3), tri_valid, count, rt_scale): ray shadows
+    bary_from_records: bool = False,  # derive b0..b2 from SR_EDGE coefficients
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
         SR_BASE,
         SR_BC_LAYER,
+        SR_EDGE,
         SR_EMISSIVE,
         SR_METALLIC,
         SR_NM_LAYER,
@@ -111,7 +114,27 @@ def shade_pbr(
     # exactly (8,128)-tile aligned
     rows = shade_rec[safe_id]  # (H, W, 128)
     col = lambda c: rows[..., c]  # (H, W) plane, clean lane slice
-    b0, b1, b2 = vis.bary[0], vis.bary[1], vis.bary[2]
+    if bary_from_records:
+        # visibility-buffer style: evaluate the winner's edge functions at
+        # the pixel center (same expression the rasterizer used); the raster
+        # kernel then only stores depth+id
+        px = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5
+        py = (
+            jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
+            + jnp.asarray(y0, jnp.float32) + 0.5
+        )
+        lam0 = col(SR_EDGE) * px + col(SR_EDGE + 1) * py + col(SR_EDGE + 2)
+        lam1 = col(SR_EDGE + 3) * px + col(SR_EDGE + 4) * py + col(SR_EDGE + 5)
+        lam2 = col(SR_EDGE + 6) * px + col(SR_EDGE + 7) * py + col(SR_EDGE + 8)
+        lsum = lam0 + lam1 + lam2
+        inv = 1.0 / jnp.where(lsum != 0.0, lsum, 1.0)
+        b0, b1, b2 = lam0 * inv, lam1 * inv, lam2 * inv
+        # materialize once: every interp() consumes b0..b2, and without a
+        # barrier XLA re-derives the whole edge evaluation inside each
+        # consumer fusion (measured +16 ms at 1080p)
+        b0, b1, b2 = jax.lax.optimization_barrier((b0, b1, b2))
+    else:
+        b0, b1, b2 = vis.bary[0], vis.bary[1], vis.bary[2]
 
     def interp(c0, c1, c2):
         return b0 * col(c0) + b1 * col(c1) + b2 * col(c2)

@@ -38,11 +38,11 @@ from renderer_tpu.ops.raster_spec import DEPTH_CLEAR, FRONT_DET_SIGN, NO_TRIANGL
 
 TILE_H = 32
 TILE_W = 128
-# Triangles per bin/DMA unit. Small blocks + the Morton-sorted soup give
-# near per-triangle binning quality: a 32-triangle cluster of spatially
-# adjacent triangles has a tight screen bbox, so tiles only walk clusters
-# that genuinely overlap them.
-BLOCK = 32
+# Triangles per bin/DMA unit. The kernel is jointly DMA-latency and
+# scalar-loop bound: measured on v5e at the 1080p bench, BLOCK 8/16/32/64/128
+# -> 76/41/33/31/33 ms — larger DMA units win even though block bboxes
+# loosen (the per-triangle scalar bbox reject absorbs the waste).
+BLOCK = 64
 GROUP = 8  # triangles processed per loop iteration (one sublane group)
 # f32 record columns per triangle: 20 used, padded to a full 128-lane row so
 # HBM block DMAs stay tile-aligned (Mosaic requires 128-lane slices)
@@ -163,6 +163,7 @@ def _round_up(x, m):
 
 def _raster_kernel(
     n_blocks: int,
+    with_bary: bool,
     # scalar-prefetch inputs (SMEM, whole arrays)
     block_count_ref,  # (n_tiles,) i32; -1 = bin overflow, walk all blocks
     y0_ref,  # (1,) i32 row offset (sharded-image support)
@@ -210,9 +211,10 @@ def _raster_kernel(
     znum_ref[:] = jnp.full((TILE_H, TILE_W), DEPTH_CLEAR, jnp.float32)
     wden_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
     id_ref[:] = jnp.full((TILE_H, TILE_W), NO_TRIANGLE, jnp.int32)
-    lam0_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    lam1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    lsum_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    if with_bary:
+        lam0_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        lam1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        lsum_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
     # tile pixel bounds for the per-triangle scalar bbox reject
     tx0 = tx.astype(jnp.float32) * TILE_W
@@ -278,13 +280,6 @@ def _raster_kernel(
 
                 @pl.when(ok & hit_tile)
                 def _():
-                    in_bb = (
-                        (px >= s(_R_BB))
-                        & (px <= s(_R_BB + 1))
-                        & (py >= s(_R_BB + 2))
-                        & (py <= s(_R_BB + 3))
-                    )
-
                     def edge(e):
                         a = s(_R_E + 3 * e)
                         b = s(_R_E + 3 * e + 1)
@@ -303,17 +298,23 @@ def _raster_kernel(
                     #   z >= 0         <=> z_num >= 0
                     #   z <= 1         <=> z_num <= w_i
                     #   z < z_ref      <=> z_num * w_ref < z_ref_num * w_i
+                    # NOTE: no separate bbox test — for all-front triangles
+                    # the three edge half-planes exactly bound coverage (the
+                    # stored bbox is only the ±0.5-padded conservative hull,
+                    # so it can never cut a covered pixel), and w-crossing
+                    # triangles get a full-screen bbox anyway.
                     covered = (
-                        a0 & a1 & a2 & in_bb
+                        a0 & a1 & a2
                         & (w_i > 0) & (z_num >= 0.0) & (z_num <= w_i)
                     )
                     closer = covered & (z_num * wden_ref[:] < znum_ref[:] * w_i)
                     znum_ref[:] = jnp.where(closer, z_num, znum_ref[:])
                     wden_ref[:] = jnp.where(closer, w_i, wden_ref[:])
                     id_ref[:] = jnp.where(closer, base + k, id_ref[:])
-                    lam0_ref[:] = jnp.where(closer, lam0, lam0_ref[:])
-                    lam1_ref[:] = jnp.where(closer, lam1, lam1_ref[:])
-                    lsum_ref[:] = jnp.where(closer, lam0 + lam1 + lam2, lsum_ref[:])
+                    if with_bary:
+                        lam0_ref[:] = jnp.where(closer, lam0, lam0_ref[:])
+                        lam1_ref[:] = jnp.where(closer, lam1, lam1_ref[:])
+                        lsum_ref[:] = jnp.where(closer, lam0 + lam1 + lam2, lsum_ref[:])
 
                 return 0
 
@@ -325,13 +326,20 @@ def _raster_kernel(
     # epilogue: resolve the rationals ONCE per tile (order matters — depth
     # reads znum/wden which alias the b0/b1 output buffers)
     depth_ref[:] = znum_ref[:] / wden_ref[:]  # wden >= min(1, w_i) > 0
-    inv = 1.0 / jnp.where(lsum_ref[:] != 0.0, lsum_ref[:], 1.0)
-    b0_ref[:] = lam0_ref[:] * inv
-    b1_ref[:] = lam1_ref[:] * inv
+    if with_bary:
+        inv = 1.0 / jnp.where(lsum_ref[:] != 0.0, lsum_ref[:], 1.0)
+        b0_ref[:] = lam0_ref[:] * inv
+        b1_ref[:] = lam1_ref[:] * inv
+    else:
+        # barycentrics are re-derived in shading from the record's edge
+        # coefficients (SR_EDGE); zero the buffers for deterministic output
+        b0_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        b1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "cull_backface", "interpret", "full_height")
+    jax.jit,
+    static_argnames=("width", "height", "cull_backface", "interpret", "full_height", "with_bary"),
 )
 def rasterize_pallas(
     clip: jnp.ndarray,
@@ -343,6 +351,7 @@ def rasterize_pallas(
     interpret: bool = False,
     y0=0,  # may be traced: render rows [y0, y0+height) of a full_height image
     full_height: int = None,
+    with_bary: bool = True,  # False: depth+id only (bary re-derived in shade)
 ) -> VisibilityBuffer:
     """Drop-in replacement for ops.raster_jax.rasterize (same spec/outputs).
 
@@ -390,7 +399,7 @@ def rasterize_pallas(
         ],
     )
     depth, tri_id, b0, b1 = pl.pallas_call(
-        functools.partial(_raster_kernel, n_blocks),
+        functools.partial(_raster_kernel, n_blocks, with_bary),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((height, width), jnp.float32),

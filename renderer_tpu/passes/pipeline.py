@@ -237,7 +237,10 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         soup = geometry.finalize_tex_lod(
             soup, rw, rh, scene.atlas.level_size[0]
         )
-        return {"soup": soup, "shade_rec": geometry.build_shade_records(soup, scene)}
+        rec = geometry.build_shade_records(
+            soup, scene, render_size=(rw, rh) if cfg.use_pallas else None
+        )
+        return {"soup": soup, "shade_rec": rec}
 
     @g.pass_(
         "aabb_soup",
@@ -252,8 +255,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         soup = dbg.aabb_soup(scene, visible, clip_mats, model, cfg.tri_capacity)
         return {"soup": compact_soup(soup)}
 
-    @g.pass_("raster", reads=["soup"], writes=["vis"])
-    def raster(soup):
+    def _raster_body(soup, with_bary: bool):
         if cfg.use_pallas:
             from renderer_tpu.ops.raster_pallas import rasterize_pallas
 
@@ -264,6 +266,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 rh,
                 cull_backface=cfg.cull_backface,
                 interpret=cfg.pallas_interpret,
+                with_bary=with_bary,
             )
         else:
             vis = rasterize(
@@ -275,6 +278,17 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 count=soup.count,
             )
         return {"vis": vis}
+
+    # PBR shading re-derives barycentrics from the record's edge columns, so
+    # the Pallas kernel can skip its three bary accumulators; the debug view
+    # interpolates soup attributes and still needs them.
+    @g.pass_("raster", reads=["soup"], writes=["vis"], condition=["!debug_aabbs"])
+    def raster(soup):
+        return _raster_body(soup, with_bary=(cfg.shading != "pbr"))
+
+    @g.pass_("raster_dbg", reads=["soup"], writes=["vis"], condition=["debug_aabbs"])
+    def raster_dbg(soup):
+        return _raster_body(soup, with_bary=True)
 
     @g.pass_(
         "shadow_pass",
@@ -309,6 +323,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 enable_textures=cfg.enable_textures,
                 enable_normal_maps=cfg.enable_normal_maps,
                 trilinear=cfg.trilinear,
+                bary_from_records=cfg.use_pallas,
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,

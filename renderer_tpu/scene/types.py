@@ -22,8 +22,11 @@ import numpy as np
 class SceneLimits(NamedTuple):
     """Design envelope, mirroring the reference's constants (BASELINE.md)."""
 
-    max_vertices: int = 1 << 20      # consolidated vertex capacity (ref: 3M)
-    max_triangles: int = 1 << 20     # consolidated index capacity / 3
+    max_vertices: int = 1 << 19      # consolidated vertex capacity (ref: 3M)
+    # library triangle capacity; instancing multiplies at draw time. Kept
+    # within TRI_REC_MAX_BYTES so the wide per-triangle record table (the
+    # fast expansion path) exists at default limits (128 MB).
+    max_triangles: int = 1 << 18
     max_meshes: int = 256            # distinct meshes in the library
     max_instances: int = 16384       # ref: 4096 model matrices
     max_materials: int = 256

@@ -79,14 +79,13 @@ def main():
         vp, clip_mats = geometry.camera_clip_matrices(camera, model)
         visible = geometry.coarse_cull(scene, model, vp)
         lod = geometry.select_lod(scene, camera, model)
-        s = geometry.expand_cull_sort_two_phase(
+        s, rec = geometry.build_draw_stream(
             scene, visible, lod, clip_mats, model,
             cfg.expand_capacity, cfg.tri_capacity, rw, rh,
         )
-        rec = geometry.build_shade_records(s, scene)
         return s.clip, s.valid, rec
 
-    timeit("geometry (prepare+expand+cull+sort+records)", geo, scene, camera, iters=iters)
+    timeit("geometry (fused build_draw_stream + prepare)", geo, scene, camera, iters=iters)
 
     def geo_prepare(scene, camera):
         model = geometry.instance_matrices(scene)

@@ -165,7 +165,7 @@ def test_build_draw_stream_matches_legacy():
         )
     )
     legacy = geometry.finalize_tex_lod(legacy, 128, 64, scene.atlas.level_size[0])
-    legacy_rec = geometry.build_shade_records(legacy, scene)
+    legacy_rec = geometry.build_shade_records(legacy, scene, render_size=(128, 64))
 
     n = int(soup.count)
     assert n == int(legacy.count) and n > 0
@@ -180,4 +180,11 @@ def test_build_draw_stream_matches_legacy():
     for i, k in enumerate(pairs_l):
         j = where_f[k]
         np.testing.assert_allclose(clip_l[i], clip_f[j], atol=1e-5)
-        np.testing.assert_allclose(rec_l[i], rec_f[j], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(rec_l[i, :40], rec_f[j, :40], rtol=1e-4, atol=1e-4)
+        # SR_EDGE cross products cancel exactly for axis-aligned edges; FMA
+        # contraction differences leave O(1e-4) residuals where the true
+        # value is 0 — compare relative to the row's edge magnitude
+        scale = np.abs(rec_l[i, 40:49]).max() + 1e-6
+        np.testing.assert_allclose(
+            rec_l[i, 40:49] / scale, rec_f[j, 40:49] / scale, atol=1e-3
+        )

@@ -112,3 +112,36 @@ def test_graph_validates_and_dumps():
     dot = graph_to_dot(g)
     assert "aabb_soup" in dot
     assert "cull" in plan_to_dot(plan)
+
+
+def test_pallas_pbr_matches_xla_pbr_image():
+    """End-to-end image equivalence: the Pallas pipeline (fused records +
+    shade-side barycentrics, interpret mode) must match the plain-XLA
+    pipeline's PBR image. Guards the record/bary plumbing — a record-layout
+    bug once produced an all-dark image that no numeric unit test caught."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.models import textured_scene
+    from renderer_tpu.scene import SceneLimits
+
+    scene = textured_scene(SceneLimits.tiny(), atlas_size=32)
+    cam = Camera.create(position=jnp.array([0.0, 1.2, 4.0]), fov_y=0.9, near=0.1, far=60.0)
+
+    def render(use_pallas):
+        cfg = PipelineConfig(
+            width=128, height=64, tri_capacity=4096,
+            use_pallas=use_pallas, pallas_interpret=use_pallas, shading="pbr",
+        )
+        r = Renderer(scene, cfg, outputs=("image",))
+        return np.asarray(r.render(cam)["image"])
+
+    img_p = render(True)
+    img_x = render(False)
+    assert img_p.mean() > 0.05, "pallas image is dark — record/bary plumbing broken"
+    # the two rasterizers pick different winners on depth-tied edge pixels;
+    # interiors must agree tightly and overall brightness must match
+    err = np.abs(img_p - img_x)
+    assert (err < 0.02).mean() > 0.95, (err.max(), err.mean())
+    assert err.mean() < 0.005, err.mean()
+    assert abs(img_p.mean() - img_x.mean()) < 0.01

@@ -60,9 +60,18 @@ def main():
     )
     renderer = Renderer(scene, cfg, outputs=("image",))
 
-    # visible-triangle count for Mtris/s (one probe frame via the soup)
+    # visible-triangle count for Mtris/s: averaged over the timed orbit's
+    # camera range (a single-angle probe over/understates by a few %)
     probe = Renderer(scene, cfg, outputs=("soup",))
-    tri_count = int(np.asarray(probe.render(make_camera(0.3))["soup"].count))
+    probe_angles = [0.3 + 0.01 * k for k in range(0, FRAMES, max(1, FRAMES // 5))]
+    tri_count = float(
+        np.mean(
+            [
+                int(np.asarray(probe.render(make_camera(a))["soup"].count))
+                for a in probe_angles
+            ]
+        )
+    )
     del probe
 
     # warmup/compile
@@ -85,7 +94,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
                 "mtris_per_sec": round(mtris, 1),
-                "visible_triangles": tri_count,
+                "visible_triangles": int(tri_count),
                 "frame_ms": round(dt * 1e3, 2),
             }
         )

@@ -101,6 +101,10 @@ def main(argv=None):
         help="write the frame graph + active plan as .dot to diagnostics/ "
         "(ref: diagnostics/ + live-diagnostics/ dumps)",
     )
+    ap.add_argument(
+        "--watch", action="store_true",
+        help="hot-reload kernel modules between frames (ref: shader_reload)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -120,6 +124,7 @@ def main(argv=None):
             use_pallas=args.pallas, skinning=(args.scene == "skinned"),
             ssaa=args.ssaa,
         ),
+        outputs=("image", "vis", "soup") if args.hud else ("image", "vis"),
     )
     renderer.set_config(
         debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling,
@@ -148,9 +153,17 @@ def main(argv=None):
     jax.block_until_ready(out["image"])
     print(f"first frame (incl. compile): {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
 
+    reloader = None
+    if args.watch:
+        from renderer_tpu.runtime import KernelReloader
+
+        reloader = KernelReloader(renderer)
+
     if args.frames > 1:
         t0 = time.time()
         for k in range(args.frames):
+            if reloader is not None and reloader.poll():
+                print(f"[watch] kernels reloaded at frame {k}")
             out = renderer.render(make_camera(args.orbit + 0.02 * k), time_s=k / 60.0)
         jax.block_until_ready(out["image"])
         dt = (time.time() - t0) / args.frames
@@ -160,9 +173,22 @@ def main(argv=None):
     covered = float(np.mean(np.asarray(vis.tri_id) != -1))
     print(f"coverage: {covered:.1%}")
     if args.hud:
+        from renderer_tpu.ops.overlay import hud_overlay
         from renderer_tpu.runtime.hud import format_hud
 
-        print(format_hud(renderer, extra={"coverage": f"{covered:.1%}"}))
+        text = format_hud(
+            renderer, extra={"coverage": f"{covered:.1%}"},
+            soup=out.get("soup") if args.pallas else None,
+        )
+        print(text)
+        # burn the HUD into the frame (the imgui pass, ref renderer.rs:1799+)
+        renderer.set_config(hud=True)
+        renderer.apply_config_now()
+        out = renderer.render(
+            make_camera(args.orbit), time_s=0.0,
+            overlay=hud_overlay(text, args.size),
+        )
+        img = out["image"]
     write_png(args.out, srgb_encode(np.asarray(img)))
     print(f"wrote {args.out}")
 

@@ -443,6 +443,36 @@ def _slot_map(scene, visible, lod, expand_capacity: int):
     return owner, tri_idx, valid, total
 
 
+def expand_clip_only(
+    scene: Scene,
+    visible: jnp.ndarray,
+    lod: jnp.ndarray,
+    clip_mats: jnp.ndarray,
+    capacity: int,
+):
+    """Positions-only draw-stream expansion -> (clip (T,3,4), valid, count).
+
+    The light-frustum caster path (per-light shadow rendering) needs only
+    transformed positions; skipping attributes/sort keeps per-light cost at
+    one wide gather + column math."""
+    lib = scene.meshes
+    inst = scene.instances
+    n = inst.mesh_id.shape[0]
+    owner, tri_idx, valid, total = _slot_map(scene, visible, lod, capacity)
+    if lib.tri_rec is not None:
+        rec = lib.tri_rec[tri_idx]
+        mm = clip_mats.reshape(n, 16)[owner]
+        clip = jnp.stack(_clip_cols(rec, mm), axis=-1).reshape(capacity, 3, 4)
+    else:
+        vidx = lib.indices[tri_idx]
+        pos = lib.positions[vidx]
+        m_clip = clip_mats[owner]
+        hpos = jnp.concatenate([pos, jnp.ones(pos.shape[:-1] + (1,), pos.dtype)], -1)
+        clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
+    count = jnp.minimum(total, capacity).astype(jnp.int32)
+    return clip, valid, count
+
+
 def build_draw_stream(
     scene: Scene,
     visible: jnp.ndarray,

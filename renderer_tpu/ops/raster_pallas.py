@@ -337,6 +337,19 @@ def _raster_kernel(
         b1_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "cull_backface"))
+def bin_overflow_tiles(
+    clip: jnp.ndarray, valid: jnp.ndarray, width: int, height: int,
+    cull_backface: bool = True,
+) -> jnp.ndarray:
+    """() i32 — tiles whose bin list overflowed MAX_BLOCKS_PER_TILE this
+    frame (those tiles silently degrade to walk-all-blocks: correct but a
+    perf cliff; surfaced in the HUD so it's observable)."""
+    _, bbox_ok = _setup_tri_data(clip, valid, width, height, cull_backface)
+    _, block_count = _bin_blocks(bbox_ok, clip.shape[0], width, height)
+    return jnp.sum((block_count < 0).astype(jnp.int32))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "cull_backface", "interpret", "full_height", "with_bary"),

@@ -7,11 +7,11 @@ Here the atlas is a (n_slots, S, S) depth array written by the same
 rasterizer in depth-only mode, and the lookup is a 2x2 PCF gather during
 deferred shading.
 
-v1 scope: directional lights cast shadows (orthographic light camera fitted
-to the scene's world AABB). Point-light (perspective) shadow cameras slot in
-through the same light_matrices hook. Shadow casters are the camera-culled
-draw stream — casters entirely outside the main frustum are missed; a
-light-frustum expansion pass is the planned fix (SURVEY §7 stage 6 note).
+Casters are culled and expanded PER LIGHT against the light's own frustum
+(render_shadow_atlas_per_light), so off-camera geometry still casts into
+view — matching the reference, which renders each light's slot from its own
+draw set (shadow_mapping.rs:345-491). The legacy camera-soup path
+(render_shadow_atlas) remains for the SPMD pipeline's reduced mode.
 """
 
 from __future__ import annotations
@@ -98,6 +98,50 @@ def render_shadow_atlas(
             strip_rows=min(32, slot_size),
             cull_backface=False,
             count=jnp.where(active, soup.count, 0),
+        )
+        return vis.depth
+
+    return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
+
+
+def render_shadow_atlas_per_light(
+    scene,
+    light_mats: jnp.ndarray,  # (L, 4, 4)
+    lights: Lights,
+    model: jnp.ndarray,       # (N, 4, 4) instance model matrices
+    lod: jnp.ndarray,         # (N,) i32 per-instance LOD (camera pick)
+    n_slots: int,
+    slot_size: int,
+    caster_capacity: int,
+) -> jnp.ndarray:
+    """Depth atlas with PER-LIGHT caster culling + expansion.
+
+    Each slot coarse-culls every alive instance against ITS light's frustum
+    and expands its own clip-only draw stream, so casters outside the main
+    camera still shadow the view (ref: shadow_mapping.rs:345-491 renders
+    per-light draw sets; LOD here reuses the camera's per-instance pick
+    where the reference picks by light distance). Shadow rasterization is
+    two-sided."""
+    from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
+
+    def per_slot(slot):
+        match = (lights.shadow_slot == slot) & lights.alive
+        li = jnp.argmax(match)
+        active = jnp.any(match)
+        m = light_mats[li]
+        clip_mats = jnp.einsum("ij,njk->nik", m, model, precision="highest")
+        visible = coarse_cull(scene, model, m) & active
+        clip, valid, count = expand_clip_only(
+            scene, visible, lod, clip_mats, caster_capacity
+        )
+        vis = rasterize(
+            clip,
+            valid,
+            slot_size,
+            slot_size,
+            strip_rows=min(32, slot_size),
+            cull_backface=False,
+            count=count,
         )
         return vis.depth
 

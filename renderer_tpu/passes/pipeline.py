@@ -43,6 +43,9 @@ class PipelineConfig:
     rt_scale: int = 2  # ray-traced shadow resolution divisor (rt switch)
     shadow_slots: int = 4     # atlas slots (ref: 4x4 atlas, shadow_mapping.rs)
     shadow_size: int = 512    # per-slot resolution (ref: 4096)
+    # per-light caster expansion capacity (0 = tri_capacity); casters are
+    # culled against each LIGHT's frustum, not the camera's
+    shadow_tri_capacity: int = 0
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -90,11 +93,12 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     # internal (supersampled) render resolution
     rw, rh = cfg.width * cfg.ssaa, cfg.height * cfg.ssaa
     g = FrameGraph("forward")
-    g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling", "rt")
+    g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling", "rt", "hud")
 
     g.resource("scene", external=True, desc="Scene pytree (SoA)")
     g.resource("camera", external=True, desc="Camera")
     g.resource("time", external=True, desc="animation clock (seconds)")
+    g.resource("overlay", external=True, desc="2D overlay tables (ops/overlay.py)")
     g.resource("scene_view", desc="scene after the pose pass (skinned verts)")
     g.resource("prepared", desc="(model, viewproj, clip_mats, visible, lod)")
     g.resource("soup", desc="post-cull transformed triangle stream (transient)")
@@ -123,6 +127,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     )
     g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
     g.resource("image", desc="linear RGB framebuffer (output resolution)")
+    g.resource("image_pre", desc="framebuffer before the overlay/present pass")
     if cfg.ssaa > 1:
         g.resource("image_hires", desc="supersampled framebuffer")
 
@@ -292,23 +297,25 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     @g.pass_(
         "shadow_pass",
-        reads=["soup", "scene_view", "prepared"],
+        reads=["scene_view", "prepared"],
         writes=["shadow"],
         condition=["shadows", "!debug_aabbs"],
         queue="graphics",
     )
-    def shadow_pass(soup, scene_view, prepared):
+    def shadow_pass(scene_view, prepared):
         scene = scene_view
         from renderer_tpu.ops.shadow import (
             directional_light_matrices,
-            render_shadow_atlas,
+            render_shadow_atlas_per_light,
         )
 
-        scene_min, scene_max, vp_inv = prepared[5], prepared[6], prepared[7]
+        model, lod = prepared[0], prepared[4]
+        scene_min, scene_max = prepared[5], prepared[6]
         mats = directional_light_matrices(scene.lights, scene_min, scene_max)
-        atlas = render_shadow_atlas(
-            soup, mats, scene.lights, cfg.shadow_slots, cfg.shadow_size,
-            viewproj_inv=vp_inv,
+        atlas = render_shadow_atlas_per_light(
+            scene, mats, scene.lights, model, lod,
+            cfg.shadow_slots, cfg.shadow_size,
+            cfg.shadow_tri_capacity or cfg.tri_capacity,
         )
         return {"shadow": (atlas, mats)}
 
@@ -331,7 +338,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         )
         return img
 
-    img_res = "image_hires" if cfg.ssaa > 1 else "image"
+    img_res = "image_hires" if cfg.ssaa > 1 else "image_pre"
 
     @g.pass_(
         "shade",
@@ -368,13 +375,13 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared, rt=rt)}
 
     if cfg.ssaa > 1:
-        @g.pass_("resolve", reads=["image_hires"], writes=["image"])
+        @g.pass_("resolve", reads=["image_hires"], writes=["image_pre"])
         def resolve(image_hires):
             """SSAA box resolve (the cmd_resolve_image analogue)."""
             k = cfg.ssaa
             h, w, c = image_hires.shape
             out = image_hires.reshape(h // k, k, w // k, k, c).mean(axis=(1, 3))
-            return {"image": out}
+            return {"image_pre": out}
 
     @g.pass_(
         "shade_debug",
@@ -384,6 +391,21 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     )
     def shade_debug(vis, soup):
         return {img_res: shading.shade_flat_instance(vis, soup, background=cfg.background)}
+
+    # -- overlay / present (the imgui pass + final blit) ---------------------
+    @g.pass_("present", reads=["image_pre"], writes=["image"], condition="!hud")
+    def present(image_pre):
+        """Identity blit (fused away by XLA) — keeps 'image' single-writer
+        per plan while the hud switch swaps the producer."""
+        return {"image": image_pre}
+
+    @g.pass_("overlay_pass", reads=["image_pre", "overlay"], writes=["image"],
+             condition="hud")
+    def overlay_pass(image_pre, overlay):
+        from renderer_tpu.ops.overlay import build_font_atlas, compose_overlay
+
+        font = jnp.asarray(build_font_atlas())
+        return {"image": compose_overlay(image_pre, overlay, font)}
 
     return g
 

@@ -8,3 +8,4 @@ pacing/statistics.
 """
 
 from renderer_tpu.runtime.frame import Renderer, RuntimeConfig  # noqa: F401
+from renderer_tpu.runtime.reload import KernelReloader  # noqa: F401

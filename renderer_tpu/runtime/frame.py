@@ -35,6 +35,7 @@ class RuntimeConfig:
     shadows: bool = False
     occlusion_culling: bool = False
     rt: bool = False
+    hud: bool = False  # burn the 2D overlay into the frame (imgui pass)
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -77,27 +78,47 @@ class Renderer:
         mutate the live config mid-frame."""
         self.config = dataclasses.replace(self._pending_config)
 
+    def _external_names(self) -> set:
+        return {
+            r.name for r in self.graph.resources.values() if r.external
+        }
+
     def _jit_for(self, plan: CompiledPlan):
         key = tuple(sorted(plan.switches.items()))
         if key not in self._jitted:
-            def run(state, scene, camera, t):
-                return plan.execute(state, scene=scene, camera=camera, time=t)
+            declared = self._external_names()
+
+            def run(state, scene, camera, t, overlay):
+                ext = {"scene": scene, "camera": camera, "time": t, "overlay": overlay}
+                return plan.execute(
+                    state, **{k: v for k, v in ext.items() if k in declared}
+                )
 
             self._jitted[key] = jax.jit(run, donate_argnums=0)
             self.stats["compiles"] += 1
         return self._jitted[key]
 
     # -- frame ---------------------------------------------------------------
-    def render(self, camera: Camera, scene: Optional[Scene] = None, time_s=0.0):
+    def render(
+        self, camera: Camera, scene: Optional[Scene] = None, time_s=0.0,
+        overlay=None,
+    ):
         """Render one frame; returns the outputs dict (device arrays).
-        time_s drives animation clips (the pose pass)."""
+        time_s drives animation clips (the pose pass); overlay is the 2D
+        instance table composited when the hud switch is on."""
         if scene is not None:
             self.scene = scene
+        if overlay is None:
+            from renderer_tpu.ops.overlay import Overlay
+
+            if not hasattr(self, "_empty_overlay"):
+                self._empty_overlay = Overlay.empty()
+            overlay = self._empty_overlay
         plan = self.plans.plan(self.config.as_dict())
         fn = self._jit_for(plan)
         t0 = time.perf_counter()
         outputs, self.state = fn(
-            self.state, self.scene, camera, jax.numpy.float32(time_s)
+            self.state, self.scene, camera, jax.numpy.float32(time_s), overlay
         )
         self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
         self.stats["frames"] += 1

@@ -17,6 +17,7 @@ def format_hud(
     arena=None,
     streamer=None,
     extra: dict = None,
+    soup=None,  # last frame's TriangleSoup: adds raster bin-overflow stats
 ) -> str:
     lines = ["=== renderer_tpu HUD ==="]
     lines.append(
@@ -50,6 +51,20 @@ def format_hud(
             f"streaming: {st['uploaded']}/{st['requested']} uploaded "
             f"({st['decoded'] - st['uploaded']} decoded+queued), "
             f"budget {streamer.budget}/frame"
+        )
+    if soup is not None and renderer.cfg.use_pallas:
+        from renderer_tpu.ops.raster_pallas import bin_overflow_tiles
+
+        n = int(
+            bin_overflow_tiles(
+                soup.clip, soup.valid,
+                renderer.cfg.width * renderer.cfg.ssaa,
+                renderer.cfg.height * renderer.cfg.ssaa,
+                cull_backface=renderer.cfg.cull_backface,
+            )
+        )
+        lines.append(
+            f"raster bins: {'OK' if n == 0 else f'{n} tiles OVERFLOWED (walk-all fallback)'}"
         )
     for k, v in (extra or {}).items():
         lines.append(f"{k}: {v}")

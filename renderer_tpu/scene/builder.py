@@ -123,13 +123,66 @@ class SceneBuilder:
                 weights=np.asarray(weights, np.float32),
                 parents=np.asarray(parents, np.int32),
                 inverse_bind=np.asarray(inverse_bind, np.float32),
+                clips=[],
+            )
+        )
+        self.add_skin_clip(mesh_id, key_times, key_t, key_r, key_s)
+        return mesh_id
+
+    def add_skin_clip(
+        self,
+        mesh_id: int,
+        key_times: np.ndarray,       # (K,)
+        key_t: np.ndarray,           # (K, J, 3)
+        key_r: np.ndarray,           # (K, J, 4) quat (w,x,y,z)
+        key_s: np.ndarray = None,    # (K, J)
+        interpolation: str = "LINEAR",  # LINEAR | STEP | CUBICSPLINE
+        key_t_tangents=None,         # (in, out) pair of (K, J, 3) for cubic
+        key_r_tangents=None,         # (in, out) pair of (K, J, 4)
+        key_s_tangents=None,         # (in, out) pair of (K, J)
+    ) -> int:
+        """Add an animation clip to a skinned mesh; returns the clip index
+        (select at runtime via skins.active_clip / ops.skin.set_active_clip).
+        glTF interpolation modes; CUBICSPLINE takes per-key in/out tangents."""
+        from renderer_tpu.scene.types import (
+            INTERP_CUBICSPLINE,
+            INTERP_LINEAR,
+            INTERP_STEP,
+        )
+
+        skin = next((d for d in self._skins if d["mesh_id"] == mesh_id), None)
+        if skin is None:
+            raise ValueError(f"mesh {mesh_id} is not skinned")
+        if len(skin["clips"]) >= self.limits.max_clips:
+            raise ValueError("clip table full")
+        k = len(key_times)
+        j = len(skin["parents"])
+        if k > self.limits.max_keyframes:
+            raise ValueError(f"too many keyframes ({k} > {self.limits.max_keyframes})")
+        mode = {"LINEAR": INTERP_LINEAR, "STEP": INTERP_STEP,
+                "CUBICSPLINE": INTERP_CUBICSPLINE}[interpolation]
+        zero3 = np.zeros((k, j, 3), np.float32)
+        zero4 = np.zeros((k, j, 4), np.float32)
+        zero1 = np.zeros((k, j), np.float32)
+        t_in, t_out = key_t_tangents or (zero3, zero3)
+        r_in, r_out = key_r_tangents or (zero4, zero4)
+        s_in, s_out = key_s_tangents or (zero1, zero1)
+        skin["clips"].append(
+            dict(
                 key_times=np.asarray(key_times, np.float32),
                 key_t=np.asarray(key_t, np.float32),
                 key_r=np.asarray(key_r, np.float32),
                 key_s=np.ones((k, j), np.float32) if key_s is None else np.asarray(key_s, np.float32),
+                key_t_in=np.asarray(t_in, np.float32),
+                key_t_out=np.asarray(t_out, np.float32),
+                key_r_in=np.asarray(r_in, np.float32),
+                key_r_out=np.asarray(r_out, np.float32),
+                key_s_in=np.asarray(s_in, np.float32),
+                key_s_out=np.asarray(s_out, np.float32),
+                interp=mode,
             )
         )
-        return mesh_id
+        return len(skin["clips"]) - 1
 
     # -- materials ----------------------------------------------------------
     def add_material(
@@ -297,23 +350,24 @@ class SceneBuilder:
             voff = int(lib["mesh_vertex_offset"][d["mesh_id"]])
             v = len(d["joints"])
             j = len(d["parents"])
-            k = len(d["key_times"])
             sk["joints"][voff : voff + v] = d["joints"]
             sk["weights"][voff : voff + v] = d["weights"]
             sk["vertex_skin"][voff : voff + v] = si
             sk["parents"][si, :j] = d["parents"]
             sk["inverse_bind"][si, :j] = d["inverse_bind"]
             sk["joint_count"][si] = j
-            sk["key_times"][si, :k] = d["key_times"]
-            sk["key_times"][si, k:] = d["key_times"][-1]  # clamp pad
-            sk["key_t"][si, :k, :j] = d["key_t"]
-            sk["key_t"][si, k:, :j] = d["key_t"][-1]
-            sk["key_r"][si, :k, :j] = d["key_r"]
-            sk["key_r"][si, k:, :j] = d["key_r"][-1]
-            sk["key_s"][si, :k, :j] = d["key_s"]
-            sk["key_s"][si, k:, :j] = d["key_s"][-1]
-            sk["key_count"][si] = k
-            sk["duration"][si] = d["key_times"][-1]
+            for ci, clip in enumerate(d["clips"]):
+                k = len(clip["key_times"])
+                sk["key_times"][si, ci, :k] = clip["key_times"]
+                sk["key_times"][si, ci, k:] = clip["key_times"][-1]  # clamp pad
+                for name in ("key_t", "key_r", "key_s", "key_t_in", "key_t_out",
+                             "key_r_in", "key_r_out", "key_s_in", "key_s_out"):
+                    sk[name][si, ci, :k, :j] = clip[name]
+                    sk[name][si, ci, k:, :j] = clip[name][-1]
+                sk["key_count"][si, ci] = k
+                sk["duration"][si, ci] = clip["key_times"][-1]
+                sk["interp"][si, ci] = clip["interp"]
+            sk["clip_count"][si] = len(d["clips"])
             sk["mesh_skin"][d["mesh_id"]] = si
         sk["count"] = np.int32(len(self._skins))
         skins = Skins(**{k: jnp.asarray(v) for k, v in sk.items()})

@@ -244,9 +244,11 @@ def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
         for local, nj in enumerate(joints):
             inverse_bind[node_to_topo[nj]] = ibm_gltf[local]
 
-        # per-joint channels from the first animation touching this skin
-        chans = {}  # node -> {path: (times, values)}
+        # EVERY animation touching this skin becomes a clip (multi-clip;
+        # runtime selection via skins.active_clip)
+        anim_chans = []  # list of (node -> {path: (times, values, mode)})
         for anim in doc.get("animations", []):
+            chans = {}
             for ch in anim.get("channels", []):
                 tgt = ch.get("target", {})
                 nj = tgt.get("node")
@@ -255,57 +257,76 @@ def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
                 samp = anim["samplers"][ch["sampler"]]
                 times = _read_accessor(doc, buffers, samp["input"]).reshape(-1)
                 vals = _read_accessor(doc, buffers, samp["output"])
+                mode = samp.get("interpolation", "LINEAR")
                 chans.setdefault(nj, {})[tgt["path"]] = (
-                    times.astype(np.float32), vals.astype(np.float32)
+                    times.astype(np.float32), vals.astype(np.float32), mode
                 )
             if chans:
-                break  # one clip per skin (multi-clip support: later)
+                anim_chans.append(chans)
+        if not anim_chans:
+            anim_chans = [{}]
 
-        duration = 1.0
-        for d in chans.values():
-            for times, _ in d.values():
-                duration = max(duration, float(times[-1]))
-        key_times = np.linspace(0.0, duration, n_keys, dtype=np.float32)
-        key_t = np.zeros((n_keys, j, 3), np.float32)
-        key_r = np.zeros((n_keys, j, 4), np.float32)
-        key_s = np.ones((n_keys, j), np.float32)
-
-        def resample(times, vals, t):
-            i = np.clip(np.searchsorted(times, t, side="right"), 1, len(times) - 1) if len(times) > 1 else 1
+        def resample(times, vals, mode, t):
+            """Sample a glTF sampler at time t, exactly per its mode
+            (CUBICSPLINE output stride is [in-tangent, value, out-tangent])."""
+            if mode == "CUBICSPLINE":
+                vals = vals.reshape(len(times), 3, -1)
             if len(times) == 1:
-                return vals[0]
+                return vals[0, 1] if mode == "CUBICSPLINE" else vals[0]
+            i = np.clip(np.searchsorted(times, t, side="right"), 1, len(times) - 1)
             t0, t1 = times[i - 1], times[i]
-            f = 0.0 if t1 <= t0 else np.clip((t - t0) / (t1 - t0), 0.0, 1.0)
+            dt = t1 - t0
+            f = 0.0 if dt <= 0 else float(np.clip((t - t0) / dt, 0.0, 1.0))
+            if mode == "STEP":
+                return vals[i - 1]
+            if mode == "CUBICSPLINE":
+                v0, b0 = vals[i - 1, 1], vals[i - 1, 2]
+                v1, a1 = vals[i, 1], vals[i, 0]
+                f2, f3 = f * f, f * f * f
+                return (
+                    (2 * f3 - 3 * f2 + 1) * v0
+                    + dt * (f3 - 2 * f2 + f) * b0
+                    + (-2 * f3 + 3 * f2) * v1
+                    + dt * (f3 - f2) * a1
+                )
             return vals[i - 1] * (1 - f) + vals[i] * f
 
-        for nj in order:
-            k = node_to_topo[nj]
-            base_t, base_r, base_s = _node_trs(nodes[nj])
-            d = chans.get(nj, {})
-            for ki, t in enumerate(key_times):
-                if "translation" in d:
-                    key_t[ki, k] = resample(*d["translation"], t)
-                else:
-                    key_t[ki, k] = base_t
-                if "rotation" in d:
-                    q = resample(*d["rotation"], t)  # xyzw
-                    q = q / max(np.linalg.norm(q), 1e-8)
-                    key_r[ki, k] = [q[3], q[0], q[1], q[2]]
-                else:
-                    key_r[ki, k] = base_r
-                if "scale" in d:
-                    key_s[ki, k] = float(np.mean(resample(*d["scale"], t)))
-                else:
-                    key_s[ki, k] = base_s
+        clips = []
+        for chans in anim_chans:
+            duration = 1.0
+            for d in chans.values():
+                for times, _, _ in d.values():
+                    duration = max(duration, float(times[-1]))
+            key_times = np.linspace(0.0, duration, n_keys, dtype=np.float32)
+            key_t = np.zeros((n_keys, j, 3), np.float32)
+            key_r = np.zeros((n_keys, j, 4), np.float32)
+            key_s = np.ones((n_keys, j), np.float32)
+            for nj in order:
+                k = node_to_topo[nj]
+                base_t, base_r, base_s = _node_trs(nodes[nj])
+                d = chans.get(nj, {})
+                for ki, t in enumerate(key_times):
+                    if "translation" in d:
+                        key_t[ki, k] = resample(*d["translation"], t)
+                    else:
+                        key_t[ki, k] = base_t
+                    if "rotation" in d:
+                        q = resample(*d["rotation"], t)  # xyzw
+                        q = q / max(np.linalg.norm(q), 1e-8)
+                        key_r[ki, k] = [q[3], q[0], q[1], q[2]]
+                    else:
+                        key_r[ki, k] = base_r
+                    if "scale" in d:
+                        key_s[ki, k] = float(np.mean(resample(*d["scale"], t)))
+                    else:
+                        key_s[ki, k] = base_s
+            clips.append(dict(key_times=key_times, key_t=key_t, key_r=key_r, key_s=key_s))
 
         out[si] = dict(
             remap=remap,
             parents=parents,
             inverse_bind=inverse_bind,
-            key_times=key_times,
-            key_t=key_t,
-            key_r=key_r,
-            key_s=key_s,
+            clips=clips,
         )
     return out
 
@@ -429,17 +450,23 @@ def load_gltf(
                 wsum = weights.sum(axis=-1, keepdims=True)
                 weights = weights / np.where(wsum > 0, wsum, 1.0)
                 sa = skin_args[skin_idx]
+                clips = sa["clips"]
                 mesh_id = b.add_skinned_mesh(
                     hm,
                     sa["remap"][joints_raw],  # glTF joint order -> topo order
                     weights,
                     sa["parents"],
                     sa["inverse_bind"],
-                    sa["key_times"],
-                    sa["key_t"],
-                    sa["key_r"],
-                    sa["key_s"],
+                    clips[0]["key_times"],
+                    clips[0]["key_t"],
+                    clips[0]["key_r"],
+                    clips[0]["key_s"],
                 )
+                for clip in clips[1 : b.limits.max_clips]:
+                    b.add_skin_clip(
+                        mesh_id, clip["key_times"], clip["key_t"],
+                        clip["key_r"], clip["key_s"],
+                    )
             else:
                 mesh_id = b.add_mesh(hm)
             prims.append((mesh_id, mid))

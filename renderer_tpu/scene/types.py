@@ -35,6 +35,7 @@ class SceneLimits(NamedTuple):
     max_skins: int = 4               # skinned meshes (CesiumMan config)
     max_joints: int = 32             # joints per skin
     max_keyframes: int = 64          # animation keys per clip
+    max_clips: int = 4               # animation clips per skin
 
     @staticmethod
     def tiny() -> "SceneLimits":
@@ -50,6 +51,7 @@ class SceneLimits(NamedTuple):
             max_skins=2,
             max_joints=8,
             max_keyframes=16,
+            max_clips=2,
         )
 
 
@@ -211,13 +213,22 @@ class Lights(NamedTuple):
         )
 
 
+# clip interpolation modes (glTF animation.sampler.interpolation)
+INTERP_LINEAR = 0
+INTERP_STEP = 1
+INTERP_CUBICSPLINE = 2
+
+
 class Skins(NamedTuple):
     """Skinning + animation data (the CesiumMan capability).
 
     Vertex skin attributes live parallel to the consolidated vertex pool
     (zero weights = rigid vertex). Each skin has a joint hierarchy (parents
     topologically ordered: parent index < child index), inverse bind
-    matrices, and one TRS keyframe clip.
+    matrices, and up to max_clips TRS keyframe clips selected at runtime by
+    active_clip. Interpolation per clip: LINEAR, STEP, or CUBICSPLINE
+    (glTF cubic hermite with per-key in/out tangents; *_in/*_out tables are
+    only meaningful for cubic clips).
     """
 
     joints: jnp.ndarray        # (V, 4) i32 joint ids per vertex (skin-local)
@@ -226,22 +237,31 @@ class Skins(NamedTuple):
     parents: jnp.ndarray       # (S, J) i32, -1 = root
     inverse_bind: jnp.ndarray  # (S, J, 4, 4) f32
     joint_count: jnp.ndarray   # (S,) i32
-    # clip keyframes: translation/rotation/scale per joint
-    key_times: jnp.ndarray     # (S, K) f32 (padded with last time)
-    key_t: jnp.ndarray         # (S, K, J, 3) f32
-    key_r: jnp.ndarray         # (S, K, J, 4) f32 quat (w,x,y,z)
-    key_s: jnp.ndarray         # (S, K, J) f32
-    key_count: jnp.ndarray     # (S,) i32
-    duration: jnp.ndarray      # (S,) f32
+    # clip keyframes: translation/rotation/scale per joint, per clip
+    key_times: jnp.ndarray     # (S, C, K) f32 (padded with last time)
+    key_t: jnp.ndarray         # (S, C, K, J, 3) f32
+    key_t_in: jnp.ndarray      # (S, C, K, J, 3) f32 cubic in-tangents
+    key_t_out: jnp.ndarray     # (S, C, K, J, 3) f32 cubic out-tangents
+    key_r: jnp.ndarray         # (S, C, K, J, 4) f32 quat (w,x,y,z)
+    key_r_in: jnp.ndarray      # (S, C, K, J, 4) f32
+    key_r_out: jnp.ndarray     # (S, C, K, J, 4) f32
+    key_s: jnp.ndarray         # (S, C, K, J) f32
+    key_s_in: jnp.ndarray      # (S, C, K, J) f32
+    key_s_out: jnp.ndarray     # (S, C, K, J) f32
+    key_count: jnp.ndarray     # (S, C) i32
+    duration: jnp.ndarray      # (S, C) f32
+    interp: jnp.ndarray        # (S, C) i32 INTERP_* mode
+    clip_count: jnp.ndarray    # (S,) i32
+    active_clip: jnp.ndarray   # (S,) i32 runtime clip selection
     # per-mesh skin binding: -1 = rigid mesh
     mesh_skin: jnp.ndarray     # (M,) i32
     count: jnp.ndarray         # () i32
 
     @staticmethod
     def empty(limits: SceneLimits) -> "Skins":
-        V, S, J, K, M = (
-            limits.max_vertices, limits.max_skins, limits.max_joints,
-            limits.max_keyframes, limits.max_meshes,
+        V, S, C, J, K, M = (
+            limits.max_vertices, limits.max_skins, limits.max_clips,
+            limits.max_joints, limits.max_keyframes, limits.max_meshes,
         )
         f32, i32 = jnp.float32, jnp.int32
         return Skins(
@@ -251,12 +271,21 @@ class Skins(NamedTuple):
             parents=jnp.full((S, J), -1, i32),
             inverse_bind=jnp.tile(jnp.eye(4, dtype=f32), (S, J, 1, 1)),
             joint_count=jnp.zeros((S,), i32),
-            key_times=jnp.zeros((S, K), f32),
-            key_t=jnp.zeros((S, K, J, 3), f32),
-            key_r=jnp.tile(jnp.array([1, 0, 0, 0], f32), (S, K, J, 1)),
-            key_s=jnp.ones((S, K, J), f32),
-            key_count=jnp.zeros((S,), i32),
-            duration=jnp.ones((S,), f32),
+            key_times=jnp.zeros((S, C, K), f32),
+            key_t=jnp.zeros((S, C, K, J, 3), f32),
+            key_t_in=jnp.zeros((S, C, K, J, 3), f32),
+            key_t_out=jnp.zeros((S, C, K, J, 3), f32),
+            key_r=jnp.tile(jnp.array([1, 0, 0, 0], f32), (S, C, K, J, 1)),
+            key_r_in=jnp.zeros((S, C, K, J, 4), f32),
+            key_r_out=jnp.zeros((S, C, K, J, 4), f32),
+            key_s=jnp.ones((S, C, K, J), f32),
+            key_s_in=jnp.zeros((S, C, K, J), f32),
+            key_s_out=jnp.zeros((S, C, K, J), f32),
+            key_count=jnp.zeros((S, C), i32),
+            duration=jnp.ones((S, C), f32),
+            interp=jnp.zeros((S, C), i32),
+            clip_count=jnp.zeros((S,), i32),
+            active_clip=jnp.zeros((S,), i32),
             mesh_skin=jnp.full((M,), -1, i32),
             count=jnp.zeros((), i32),
         )

@@ -105,7 +105,7 @@ def test_graph_validates_and_dumps():
     g.validate()
     plan = g.compile(outputs=["image"], switches={"debug_aabbs": False, "freeze_culling": False})
     names = [p.name for p in plan.passes]
-    assert names == ["pose", "prepare", "cull", "raster", "shade"]
+    assert names == ["pose", "prepare", "cull", "raster", "shade", "present"]
     plan_dbg = g.compile(outputs=["image"], switches={"debug_aabbs": True, "freeze_culling": False})
     names_dbg = [p.name for p in plan_dbg.passes]
     assert "aabb_soup" in names_dbg and "cull" not in names_dbg

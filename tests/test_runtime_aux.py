@@ -281,3 +281,73 @@ def test_texture_streaming():
     assert before[1] > 0.1 and abs(before[0] - before[1]) < 0.05
     assert after[0] > 0.1 and after[1] < 0.05 * after[0] + 0.02, (before, after)
     streamer.close()
+
+
+def test_kernel_live_reload(tmp_path):
+    """Editing a watched kernel module changes the next frame's output
+    without a process restart; a broken edit keeps the old graph rendering
+    (ref: shader_reload.rs keep-old-pipeline semantics)."""
+    import os
+    import sys
+    import textwrap
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.runtime.reload import KernelReloader
+
+    mod_path = tmp_path / "hot_shade.py"
+    mod_path.write_text("TINT = 0.0\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import hot_shade  # noqa: F401
+
+        from renderer_tpu.graph import FrameGraph
+
+        def build_graph():
+            import hot_shade as hs
+
+            g = FrameGraph("hot")
+            g.resource("camera", external=True)
+            g.resource("scene", external=True)
+            g.resource("time", external=True)
+            g.resource("image")
+
+            @g.pass_("shade", reads=["camera"], writes=["image"])
+            def shade(camera):
+                return {"image": jnp.full((4, 4, 3), hs.TINT, jnp.float32)}
+
+            return g
+
+        from renderer_tpu.models import box_scene
+        from renderer_tpu.runtime import Renderer
+        from renderer_tpu.scene import SceneLimits
+
+        scene = box_scene(SceneLimits.tiny())
+        r = Renderer(scene, graph=build_graph(), outputs=("image",))
+        reloader = KernelReloader(r, rebuild=build_graph, modules=["hot_shade"])
+        cam = Camera.create(position=jnp.array([0.0, 0.0, 3.0]))
+
+        img0 = np.asarray(r.render(cam)["image"])
+        assert img0.max() == 0.0
+
+        _time.sleep(0.01)
+        mod_path.write_text("TINT = 0.5\n")
+        os.utime(mod_path)  # ensure mtime moves even on coarse filesystems
+        assert reloader.poll() is True
+        img1 = np.asarray(r.render(cam)["image"])
+        np.testing.assert_allclose(img1, 0.5)
+        assert reloader.stats["reloads"] == 1
+
+        # broken edit: old graph keeps rendering, failure recorded
+        _time.sleep(0.01)
+        mod_path.write_text("TINT = (unclosed\n")
+        os.utime(mod_path)
+        assert reloader.poll() is False
+        assert reloader.stats["failures"] == 1
+        img2 = np.asarray(r.render(cam)["image"])
+        np.testing.assert_allclose(img2, 0.5)
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("hot_shade", None)

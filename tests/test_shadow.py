@@ -176,3 +176,47 @@ def test_rt_shadows_match_shadow_maps():
     # shadow masks agree on most pixels (edge texels may differ)
     agree = ((drop_sm > 0.03) == (drop_rt > 0.03)).mean()
     assert agree > 0.97, f"rt vs shadow-map agreement {agree:.3f}"
+
+
+def test_off_camera_caster_shadows_visible_floor():
+    """A box entirely OUTSIDE the camera frustum must still cast its shadow
+    onto the visible floor (per-light caster culling; ref: the reference
+    renders each light's slot from its own draw set, shadow_mapping.rs)."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=40.0))
+    box = b.add_mesh(primitives.box())
+    floor = b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0)
+    red = b.add_material(base_color=(0.8, 0.2, 0.2, 1), roughness=0.8)
+    b.add_instance(plane, floor)
+    # caster way off to the -x side, far outside the narrow camera frustum
+    b.add_instance(box, red, translation=(-9.0, 2.0, 0.0), scale=2.0)
+    # sun travelling (+x, -y): the off-camera box's shadow lands in view
+    b.add_light(position=(1.0, -1.0, 0.0), directional=True, intensity=3.0,
+                shadow_slot=0)
+    scene = b.build()
+
+    cam = Camera.create(
+        position=jnp.array([-6.0, 6.0, 0.01]),
+        rotation=mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -np.pi / 2),
+        fov_y=0.5,  # narrow: the box at x=-10 is far outside
+        near=0.1, far=50.0,
+    )
+    cfg = PipelineConfig(width=64, height=64, tri_capacity=1024, shading="pbr")
+
+    def render(shadows):
+        r = Renderer(scene, cfg, outputs=("image", "soup"))
+        r.set_config(shadows=shadows)
+        r.apply_config_now()
+        out = r.render(cam)
+        # the caster must not be in the camera-culled draw stream (the plane
+        # contributes at most 2 triangles)
+        assert int(out["soup"].count) <= 2
+        return np.asarray(out["image"])
+
+    lit = render(False)
+    shadowed = render(True)
+    # the shadow darkens part of the visible floor even though the caster is
+    # never in the camera-culled draw stream
+    diff = (lit - shadowed).mean(axis=-1)
+    assert diff.max() > 0.05, diff.max()
+    assert (diff > 0.05).mean() > 0.01

@@ -29,6 +29,10 @@ class Resource:
     init: Optional[Callable[[], Any]] = None
     # informational only (diagnostics/.dot parity with the reference)
     desc: str = ""
+    # SPMD partition specs (pytree / prefix of jax.sharding.PartitionSpec)
+    # for this resource's value when the plan runs under shard_map; None =
+    # replicated. Only consulted for persistent resources and outputs.
+    spmd_specs: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,11 +95,15 @@ class FrameGraph:
         self._switch_names: set[str] = set()
 
     # -- declaration -------------------------------------------------------
-    def resource(self, name: str, *, persistent=False, external=False, init=None, desc="") -> str:
+    def resource(
+        self, name: str, *, persistent=False, external=False, init=None, desc="",
+        spmd_specs=None,
+    ) -> str:
         if name in self.resources:
             raise GraphError(f"resource {name!r} declared twice")
         self.resources[name] = Resource(
-            name=name, persistent=persistent, external=external, init=init, desc=desc
+            name=name, persistent=persistent, external=external, init=init,
+            desc=desc, spmd_specs=spmd_specs,
         )
         return name
 

@@ -50,6 +50,11 @@ class PipelineConfig:
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-mesh tests / dryruns
+    # SPMD: >1 compiles THE SAME plan for an n-device mesh (instance-sharded
+    # geometry + one all-gather + row-sharded raster/shade). Run through
+    # Renderer(spmd_mesh=...) / shard_map; every switch works under SPMD.
+    spmd_devices: int = 1
+    spmd_axis: str = "sp"
 
     @property
     def expand_capacity(self) -> int:
@@ -62,6 +67,13 @@ class PipelineConfig:
                 "pallas raster needs width%128==0, height%32==0"
             )
             assert self.tri_capacity % 256 == 0
+        if self.spmd_devices > 1:
+            n = self.spmd_devices
+            assert self.height * self.ssaa % (n * (32 if self.use_pallas else 1)) == 0, (
+                "sharded rows must divide the render height (and tile rows)"
+            )
+            assert self.tri_capacity % (128 * n) == 0
+            assert self.expand_capacity % n == 0
 
 
 def empty_soup(capacity: int) -> TriangleSoup:
@@ -92,6 +104,33 @@ def _empty_vis(width: int, height: int):
 def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     # internal (supersampled) render resolution
     rw, rh = cfg.width * cfg.ssaa, cfg.height * cfg.ssaa
+    # SPMD: the SAME graph compiles for an n-device mesh — pass bodies shard
+    # instances (geometry) and rows (raster/shade) by axis_index and insert
+    # the one all-gather; no second pipeline (ref: the frame graph IS the
+    # product, SURVEY §1)
+    SP = cfg.spmd_devices > 1
+    n_dev = cfg.spmd_devices
+    axis = cfg.spmd_axis
+    shard_rows = rh // n_dev
+    if SP:
+        assert cfg.use_pallas, (
+            "SPMD requires the Pallas rasterizer (binning handles the "
+            "gathered draw stream's segmented valid mask; interpret=True "
+            "for CPU meshes)"
+        )
+
+    import jax
+
+    def _dev_start(total):
+        return jax.lax.axis_index(axis) * (total // n_dev)
+
+    def _gather(x):
+        """all-gather a per-device block along its leading axis."""
+        if x.ndim == 0:
+            return x
+        gathered = jax.lax.all_gather(x, axis)
+        return gathered.reshape((-1,) + x.shape[1:])
+
     g = FrameGraph("forward")
     g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling", "rt", "hud")
 
@@ -109,12 +148,22 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         init=lambda: geometry.DrawList.empty(cfg.tri_capacity),
         desc="camera-independent culled (instance, tri) list; freeze target",
     )
+    if SP:
+        from jax.sharding import PartitionSpec as _P
+
+        from renderer_tpu.ops.raster_jax import VisibilityBuffer as _VB
+
+        vis_specs = _VB(depth=_P(axis), tri_id=_P(axis), bary=_P(None, axis))
+    else:
+        vis_specs = None
     g.resource(
         "vis",
         persistent=True,
         init=lambda: _empty_vis(rw, rh),
+        spmd_specs=vis_specs,
         desc="visibility buffer (depth, tri_id, bary); persistent so frame "
-        "N-1's depth feeds the occlusion-culling pyramid via reads_prev",
+        "N-1's depth feeds the occlusion-culling pyramid via reads_prev "
+        "(row-sharded across the mesh under SPMD)",
     )
     g.resource(
         "prev_vp",
@@ -170,7 +219,53 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     def _cull_body(scene, prepared, visible):
         model, vp, clip_mats, _, lod = prepared[:5]
-        if cfg.use_pallas:
+        if SP:
+            # instance-parallel: each device culls+expands its instance
+            # columns, then ONE all-gather joins the culled streams over ICI
+            # (gathered valid masks are segmented, not a prefix — the Pallas
+            # binning consumes them directly)
+            import jax.numpy as jnp
+
+            from renderer_tpu.ops.geometry import SR_INSTANCE
+
+            n_inst = scene.instances.mesh_id.shape[0]
+            shard = n_inst // n_dev
+            dev = jax.lax.axis_index(axis)
+            # STRIDED instance sharding (local i <- global dev + n*i):
+            # contiguous blocks concentrate one mesh's instances on one
+            # device and overflow its per-device capacity; striding balances
+            idx = dev + n_dev * jnp.arange(shard, dtype=jnp.int32)
+
+            def sl(x):
+                return x[idx]
+
+            inst = scene.instances
+            inst_s = inst._replace(
+                translation=sl(inst.translation), rotation=sl(inst.rotation),
+                scale=sl(inst.scale), mesh_id=sl(inst.mesh_id),
+                material_id=sl(inst.material_id), alive=sl(inst.alive),
+            )
+            soup, rec = geometry.build_draw_stream(
+                scene._replace(instances=inst_s),
+                sl(visible), sl(lod), sl(clip_mats), sl(model),
+                cfg.expand_capacity // n_dev, cfg.tri_capacity // n_dev,
+                rw, rh, cull_backface=cfg.cull_backface,
+                want_soup_attrs=(cfg.shading != "pbr"),
+            )
+            # lift shard-local instance ids to global
+            soup = soup._replace(instance=soup.instance * n_dev + dev)
+            rec = rec.at[:, SR_INSTANCE].set(
+                rec[:, SR_INSTANCE] * n_dev + dev.astype(jnp.float32)
+            )
+            soup = geometry.TriangleSoup(
+                clip=_gather(soup.clip), normal=_gather(soup.normal),
+                uv=_gather(soup.uv), tangent=_gather(soup.tangent),
+                instance=_gather(soup.instance), valid=_gather(soup.valid),
+                count=jax.lax.psum(soup.count, axis),
+                tex_lod=_gather(soup.tex_lod), tri_idx=_gather(soup.tri_idx),
+            )
+            rec = _gather(rec)
+        elif cfg.use_pallas:
             # fused column-math build: wide tri-record gather + fused shade
             # records; soup attrs materialize only when a consumer needs them
             soup, rec = geometry.build_draw_stream(
@@ -216,12 +311,14 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     def cull_occluded(scene_view, prepared, vis_prev, prev_vp_prev):
         """Two-pass occlusion culling: refine instance visibility against
         frame N-1's depth pyramid, projected with frame N-1's viewproj
-        (ops/occlusion.py)."""
+        (ops/occlusion.py). Under SPMD the prev depth is row-sharded, and
+        instance AABBs project anywhere — gather the full depth first."""
         from renderer_tpu.ops.occlusion import occlusion_cull
 
+        depth_prev = _gather(vis_prev.depth) if SP else vis_prev.depth
         model = prepared[0]
         visible = occlusion_cull(
-            scene_view, model, prev_vp_prev, prepared[3], vis_prev.depth
+            scene_view, model, prev_vp_prev, prepared[3], depth_prev
         )
         return _cull_body(scene_view, prepared, visible)
 
@@ -268,10 +365,12 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 soup.clip,
                 soup.valid,
                 rw,
-                rh,
+                shard_rows if SP else rh,
                 cull_backface=cfg.cull_backface,
                 interpret=cfg.pallas_interpret,
                 with_bary=with_bary,
+                y0=_dev_start(rh) if SP else 0,
+                full_height=rh if SP else None,
             )
         else:
             vis = rasterize(
@@ -321,6 +420,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None, rt=None):
         vp_inv = prepared[7]
+        y0 = _dev_start(rh) if SP else 0
+        fh = rh if SP else None
         if cfg.shading == "pbr":
             from renderer_tpu.ops.pbr import shade_pbr
 
@@ -331,10 +432,11 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 enable_normal_maps=cfg.enable_normal_maps,
                 trilinear=cfg.trilinear,
                 bary_from_records=cfg.use_pallas,
+                y0=y0, full_height=fh,
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,
-            background=cfg.background,
+            background=cfg.background, y0=y0, full_height=fh,
         )
         return img
 
@@ -371,7 +473,10 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
         vp_inv = prepared[7]
         tri_w = triangles_world(soup.clip, vp_inv)
-        rt = (tri_w, soup.valid, soup.count, cfg.rt_scale)
+        # the SPMD-gathered stream's valid mask is segmented, not a prefix:
+        # bound the ray loop by capacity (masks stay exact)
+        cnt = jnp.int32(cfg.tri_capacity) if SP else soup.count
+        rt = (tri_w, soup.valid, cnt, cfg.rt_scale)
         return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared, rt=rt)}
 
     if cfg.ssaa > 1:
@@ -393,11 +498,16 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         return {img_res: shading.shade_flat_instance(vis, soup, background=cfg.background)}
 
     # -- overlay / present (the imgui pass + final blit) ---------------------
+    def _assemble(image_pre):
+        """Under SPMD: join the row shards so 'image' is the full replicated
+        frame (the final over-ICI all-gather; ~one frame of traffic)."""
+        return _gather(image_pre) if SP else image_pre
+
     @g.pass_("present", reads=["image_pre"], writes=["image"], condition="!hud")
     def present(image_pre):
         """Identity blit (fused away by XLA) — keeps 'image' single-writer
         per plan while the hud switch swaps the producer."""
-        return {"image": image_pre}
+        return {"image": _assemble(image_pre)}
 
     @g.pass_("overlay_pass", reads=["image_pre", "overlay"], writes=["image"],
              condition="hud")
@@ -405,7 +515,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         from renderer_tpu.ops.overlay import build_font_atlas, compose_overlay
 
         font = jnp.asarray(build_font_atlas())
-        return {"image": compose_overlay(image_pre, overlay, font)}
+        return {"image": compose_overlay(_assemble(image_pre), overlay, font)}
 
     return g
 

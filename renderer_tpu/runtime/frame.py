@@ -48,11 +48,17 @@ class Renderer:
         cfg: Optional[PipelineConfig] = None,
         graph=None,
         outputs=("image", "vis"),
+        spmd_mesh=None,  # jax Mesh: run THE SAME plan SPMD across its axis
     ):
         from renderer_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()  # crossbar analogue: warm process starts
         self.cfg = cfg or PipelineConfig()
+        self.spmd_mesh = spmd_mesh
+        if spmd_mesh is not None:
+            assert self.cfg.spmd_devices == spmd_mesh.shape[self.cfg.spmd_axis], (
+                "PipelineConfig.spmd_devices must match the mesh axis size"
+            )
         self.graph = graph or build_forward_graph(self.cfg)
         self.plans = PlanCache(self.graph, outputs=outputs)
         self.scene = scene
@@ -94,6 +100,31 @@ class Renderer:
                     state, **{k: v for k, v in ext.items() if k in declared}
                 )
 
+            if self.spmd_mesh is not None:
+                # one shard_map over the WHOLE plan: per-resource partition
+                # specs come from the graph declarations (vis row-sharded,
+                # everything else replicated); scene/camera replicated
+                from jax.sharding import PartitionSpec as P
+
+                def spec_of(name):
+                    s = self.graph.resources[name].spmd_specs
+                    return s if s is not None else P()
+
+                state_specs = {name: spec_of(name) for name in self.state}
+                out_specs = (
+                    {o: spec_of(o) for o in plan.outputs},
+                    state_specs,
+                )
+                run = jax.shard_map(
+                    run,
+                    mesh=self.spmd_mesh,
+                    in_specs=(state_specs, P(), P(), P(), P()),
+                    out_specs=out_specs,
+                    # pallas_call outputs carry no varying-mesh-axes
+                    # annotation; skip the vma check (specs above are the
+                    # source of truth)
+                    check_vma=False,
+                )
             self._jitted[key] = jax.jit(run, donate_argnums=0)
             self.stats["compiles"] += 1
         return self._jitted[key]

@@ -85,6 +85,10 @@ def shade_pbr(
     enable_normal_maps: bool = True,
     trilinear: bool = True,
     rt=None,  # (tri_world (T,3,3), tri_valid, count, rt_scale): ray shadows
+    # accelerated ray shadows (ops/rt_grid.py): (light_mats, lod, model,
+    # scene_radius, caster_capacity, interpret) — per-light caster expansion
+    # + light-space-binned Pallas traversal; replaces `rt` when set
+    rt_grid=None,
     bary_from_records: bool = False,  # derive b0..b2 from SR_EDGE coefficients
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
@@ -175,7 +179,15 @@ def shade_pbr(
         n = n_geom
 
     rt_occ = None
-    if rt is not None:
+    if rt_grid is not None:
+        from renderer_tpu.ops.rt_grid import rt_shadow_grid
+
+        light_mats, lod_i, model, radius, caster_cap, interp = rt_grid
+        rt_occ = rt_shadow_grid(
+            scene, world, n_geom, covered, light_mats, lod_i, model,
+            radius, caster_cap, interpret=interp,
+        )
+    elif rt is not None:
         from renderer_tpu.ops.rt import rt_shadow_planes
 
         tri_w, tri_v, tri_count, rt_scale = rt

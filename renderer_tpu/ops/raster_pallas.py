@@ -105,13 +105,18 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
 MAX_BLOCKS_PER_TILE = 2048  # per-tile bin list cap (SMEM scratch = 8 KB)
 
 
-def _bin_blocks(bbox_ok, t_cap, width, height, y0=0):
+def _bin_blocks(bbox_ok, t_cap, width, height, y0=0, tile_bboxes=None):
     """Block-granularity binning: per tile, the ascending list of triangle
     blocks whose bbox union overlaps the tile (padded, with counts).
 
     Lists live in HBM (n_tiles x MAXB, 128-aligned rows) and are DMA'd into
     SMEM per tile; a tile overlapping more than MAXB blocks gets the
-    sentinel count -1 = "walk every block" (correct, just unbinned)."""
+    sentinel count -1 = "walk every block" (correct, just unbinned).
+
+    tile_bboxes: optional (t_x0, t_x1, t_y0, t_y1) arrays of shape
+    (n_ty, n_tx) replacing the regular pixel-grid tile extents — used by the
+    light-space occlusion kernel, where each SCREEN tile covers a
+    data-dependent LIGHT-space bbox."""
     xmin, xmax, ymin, ymax, ok = bbox_ok
     n_blocks = t_cap // BLOCK
     inf = jnp.float32(jnp.inf)
@@ -123,11 +128,14 @@ def _bin_blocks(bbox_ok, t_cap, width, height, y0=0):
 
     n_ty = height // TILE_H
     n_tx = width // TILE_W
-    ty = jnp.arange(n_ty, dtype=jnp.float32)[:, None, None]
-    tx = jnp.arange(n_tx, dtype=jnp.float32)[None, :, None]
-    t_x0, t_x1 = tx * TILE_W, (tx + 1) * TILE_W
-    y0f = jnp.asarray(y0, jnp.float32)
-    t_y0, t_y1 = y0f + ty * TILE_H, y0f + (ty + 1) * TILE_H
+    if tile_bboxes is None:
+        ty = jnp.arange(n_ty, dtype=jnp.float32)[:, None, None]
+        tx = jnp.arange(n_tx, dtype=jnp.float32)[None, :, None]
+        t_x0, t_x1 = tx * TILE_W, (tx + 1) * TILE_W
+        y0f = jnp.asarray(y0, jnp.float32)
+        t_y0, t_y1 = y0f + ty * TILE_H, y0f + (ty + 1) * TILE_H
+    else:
+        t_x0, t_x1, t_y0, t_y1 = (b[..., None] for b in tile_bboxes)
     overlap = (
         bany[None, None, :]
         & (bxmin[None, None, :] <= t_x1)

@@ -1,0 +1,314 @@
+"""Accelerated ray-traced shadows: light-space 2D binning + Pallas traversal.
+
+The reference builds per-mesh BLASes and a per-frame TLAS and ray-queries
+them in the fragment shader (acceleration_strucures.rs:221-569,
+gltf_mesh.frag:136-160). A BVH's pointer-chasing traversal is hostile to the
+TPU, but for DIRECTIONAL lights every shadow ray is parallel, so the whole
+query projects to 2D light space: receiver (x, y, depth) is occluded iff
+some caster triangle covers (x, y) with smaller light depth. The
+acceleration structure is therefore a light-space triangle binning — the 2D
+analogue of a TLAS for parallel rays — and the "traversal" is a Pallas
+kernel that walks, per SCREEN tile, only the triangle blocks whose
+light-space bbox overlaps that tile's RECEIVER bbox (data-dependent tiles:
+the screen->light mapping is continuous, so screen tiles cover compact
+light-space regions).
+
+Unlike a shadow map there is no resolution or bias-texel error: coverage is
+analytic point-in-triangle at each receiver's exact light-space position —
+the same answer ray casting gives, at raster-like cost. Casters are
+expanded PER LIGHT (expand_clip_only against the light frustum), so
+off-camera geometry occludes correctly — exceeding the camera-culled brute
+force path (ops/rt.py), which remains the ground-truth A/B reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from renderer_tpu.ops.raster_pallas import (
+    BLOCK,
+    ROWS,
+    TILE_H,
+    TILE_W,
+    _bin_blocks,
+)
+
+# record columns (light-space, NDC scale)
+_O_E = 0    # 0..8   edge coeffs (sign-normalized: inside => all lam >= 0)
+_O_Z = 9    # 9..11  affine depth plane (A, B, C): z(x, y) = A x + B y + C
+_O_BB = 12  # 12..15 light bbox (xmin, xmax, ymin, ymax)
+_O_OK = 16
+
+
+def _setup_light_tris(clip, valid):
+    """Light-clip triangles -> (tri_data (T, ROWS), bbox_ok for binning).
+
+    Works for orthographic lights (w == 1); perspective light support would
+    reuse the rasterizer's homogeneous formulation."""
+    w = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    x = clip[..., 0] / safe_w  # (T, 3)
+    y = clip[..., 1] / safe_w
+    z = clip[..., 2] / safe_w
+    t_cap = clip.shape[0]
+
+    # edge functions from 2D homogeneous columns u_c = (x_c, y_c, 1)
+    def cross_cols(ax, ay, aw, bx, by, bw):
+        return (ay * bw - aw * by, aw * bx - ax * bw, ax * by - ay * bx)
+
+    e0 = cross_cols(x[:, 1], y[:, 1], 1.0, x[:, 2], y[:, 2], 1.0)
+    e1 = cross_cols(x[:, 2], y[:, 2], 1.0, x[:, 0], y[:, 0], 1.0)
+    e2 = cross_cols(x[:, 0], y[:, 0], 1.0, x[:, 1], y[:, 1], 1.0)
+    det = e0[0] * x[:, 0] + e0[1] * y[:, 0] + e0[2]
+    sgn = jnp.sign(det)
+    inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
+    ok = valid & (det != 0)
+
+    # affine depth: z(x,y) = sum_i lam_i z_i / det
+    za = (e0[0] * z[:, 0] + e1[0] * z[:, 1] + e2[0] * z[:, 2]) * inv_det
+    zb = (e0[1] * z[:, 0] + e1[1] * z[:, 1] + e2[1] * z[:, 2]) * inv_det
+    zc = (e0[2] * z[:, 0] + e1[2] * z[:, 1] + e2[2] * z[:, 2]) * inv_det
+
+    xmin = jnp.min(x, axis=1)
+    xmax = jnp.max(x, axis=1)
+    ymin = jnp.min(y, axis=1)
+    ymax = jnp.max(y, axis=1)
+
+    cols = [c * sgn for e in (e0, e1, e2) for c in e]
+    cols += [za, zb, zc, xmin, xmax, ymin, ymax, ok.astype(jnp.float32)]
+    tri_data = jnp.stack(cols, axis=-1)  # (T, 17)
+    tri_data = jnp.concatenate(
+        [tri_data, jnp.zeros((t_cap, ROWS - tri_data.shape[-1]), jnp.float32)], -1
+    )
+    return tri_data, (xmin, xmax, ymin, ymax, ok)
+
+
+def _occlusion_kernel(
+    n_blocks: int,
+    # scalar prefetch
+    block_count_ref,   # (n_tiles,) i32
+    tile_bbox_ref,     # (n_tiles, 4) f32 receiver light bbox per tile
+    # inputs
+    block_list_hbm,    # (n_tiles, MAXB) i32
+    tri_hbm,           # (T, ROWS) f32
+    lx_ref,            # (TILE_H, TILE_W) receiver light x (VMEM block)
+    ly_ref,
+    ld_ref,            # receiver light depth (+inf for background)
+    # output
+    occ_ref,           # (TILE_H, TILE_W) f32: 1 lit, 0 occluded
+    # scratch
+    list_smem,
+    list_sem,
+    buf,               # (2, BLOCK, ROWS) f32 SMEM
+    sem,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * pl.num_programs(1) + tx
+    maxb = list_smem.shape[0] * 128
+
+    list_dma = pltpu.make_async_copy(block_list_hbm.at[tile], list_smem, list_sem)
+    list_dma.start()
+
+    raw_count = block_count_ref[tile]
+    overflow = raw_count < 0
+    count = jnp.where(overflow, n_blocks, raw_count)
+
+    def block_id(i):
+        j = jnp.minimum(i, maxb - 1)
+        return jnp.where(overflow, i, list_smem[j // 128, j % 128])
+
+    occ_ref[:] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    lx = lx_ref[:]
+    ly = ly_ref[:]
+    ld = ld_ref[:]
+    rx0 = tile_bbox_ref[tile, 0]
+    rx1 = tile_bbox_ref[tile, 1]
+    ry0 = tile_bbox_ref[tile, 2]
+    ry1 = tile_bbox_ref[tile, 3]
+
+    def start_dma(i, slot):
+        blk = block_id(i)
+        off = pl.multiple_of(blk * BLOCK, BLOCK)
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(off, BLOCK), :], buf.at[slot], sem.at[slot]
+        )
+
+    list_dma.wait()
+
+    @pl.when(count > 0)
+    def _():
+        start_dma(0, 0).start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < count)
+            def _():
+                start_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            blk = block_id(i)
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(pl.multiple_of(blk * BLOCK, BLOCK), BLOCK), :],
+                buf.at[slot],
+                sem.at[slot],
+            ).wait()
+
+            def tri_body(k, _):
+                def s(col):
+                    return buf[slot, k, col]
+
+                ok = s(_O_OK) > 0.5
+                hit_tile = (
+                    (s(_O_BB) <= rx1)
+                    & (s(_O_BB + 1) >= rx0)
+                    & (s(_O_BB + 2) <= ry1)
+                    & (s(_O_BB + 3) >= ry0)
+                )
+
+                @pl.when(ok & hit_tile)
+                def _():
+                    lam0 = s(_O_E) * lx + s(_O_E + 1) * ly + s(_O_E + 2)
+                    lam1 = s(_O_E + 3) * lx + s(_O_E + 4) * ly + s(_O_E + 5)
+                    lam2 = s(_O_E + 6) * lx + s(_O_E + 7) * ly + s(_O_E + 8)
+                    zt = s(_O_Z) * lx + s(_O_Z + 1) * ly + s(_O_Z + 2)
+                    covered = (
+                        (lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (zt < ld)
+                    )
+                    occ_ref[:] = jnp.where(covered, 0.0, occ_ref[:])
+
+                return 0
+
+            jax.lax.fori_loop(0, BLOCK, tri_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occlusion_grid(
+    clip: jnp.ndarray,    # (T, 3, 4) caster triangles in LIGHT clip space
+    valid: jnp.ndarray,   # (T,)
+    lx: jnp.ndarray,      # (H, W) receiver light-space x (NDC)
+    ly: jnp.ndarray,      # (H, W)
+    ld: jnp.ndarray,      # (H, W) receiver light depth (biased; +inf = skip)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(H, W) f32 occlusion: 1 lit, 0 shadowed. Exact analytic coverage."""
+    h, w = lx.shape
+    assert w % TILE_W == 0 and h % TILE_H == 0, (h, w)
+    t_cap = clip.shape[0]
+    assert t_cap % BLOCK == 0, (t_cap, BLOCK)
+    n_ty, n_tx = h // TILE_H, w // TILE_W
+    n_blocks = t_cap // BLOCK
+
+    tri_data, bbox_ok = _setup_light_tris(clip, valid)
+
+    # per-tile receiver bboxes in light space (background pixels excluded)
+    live = jnp.isfinite(ld)
+    big = jnp.float32(3e38)
+
+    def tile_reduce(v, fn, fill):
+        t = jnp.where(live, v, fill).reshape(n_ty, TILE_H, n_tx, TILE_W)
+        return fn(t, axis=(1, 3))
+
+    tx0 = tile_reduce(lx, jnp.min, big)
+    tx1 = tile_reduce(lx, jnp.max, -big)
+    ty0 = tile_reduce(ly, jnp.min, big)
+    ty1 = tile_reduce(ly, jnp.max, -big)
+
+    block_list, block_count = _bin_blocks(
+        bbox_ok, t_cap, w, h, tile_bboxes=(tx0, tx1, ty0, ty1)
+    )
+    maxb = block_list.shape[-1]
+    tile_bbox = jnp.stack(
+        [tx0.reshape(-1), tx1.reshape(-1), ty0.reshape(-1), ty1.reshape(-1)], -1
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((maxb // 128, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, BLOCK, ROWS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (occ,) = pl.pallas_call(
+        functools.partial(_occlusion_kernel, n_blocks),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)],
+        interpret=interpret,
+    )(
+        block_count.reshape(n_ty * n_tx),
+        tile_bbox,
+        block_list.reshape(n_ty * n_tx, maxb // 128, 128),
+        tri_data,
+        lx,
+        ly,
+        ld,
+    )
+    return occ
+
+
+def rt_shadow_grid(
+    scene,
+    world: jnp.ndarray,    # (3, H, W) receiver world positions
+    normal: jnp.ndarray,   # (3, H, W) geometric normals (self-shadow offset)
+    covered: jnp.ndarray,  # (H, W) bool — pixels that hold geometry
+    light_mats: jnp.ndarray,  # (L, 4, 4) from directional_light_matrices
+    lod: jnp.ndarray,      # (N,) per-instance LOD
+    model: jnp.ndarray,    # (N, 4, 4)
+    scene_radius,          # () f32 — bias scale
+    caster_capacity: int,
+    interpret: bool = False,
+    depth_eps: float = 1.5e-3,
+) -> jnp.ndarray:
+    """(L, H, W) per-light occlusion planes (directional shadow lights only;
+    others return 1.0 everywhere). Per-light caster expansion includes
+    off-camera geometry."""
+    from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
+
+    lights = scene.lights
+    # world-space normal offset proportional to scene scale (the normal-
+    # offset-shadows trick; replaces per-ray origin epsilon)
+    offset_world = world + normal * (scene_radius * 2e-3)
+    hcf = jnp.concatenate(
+        [offset_world, jnp.ones((1,) + world.shape[1:], jnp.float32)], axis=0
+    )
+
+    planes = []
+    for li in range(lights.alive.shape[0]):
+        want = lights.alive[li] & (lights.shadow_slot[li] >= 0) & lights.directional[li]
+        m = light_mats[li]
+        lclip = jnp.einsum("ij,jhw->ihw", m, hcf, precision="highest")
+        lw = jnp.where(jnp.abs(lclip[3]) > 1e-9, lclip[3], 1e-9)
+        lx = lclip[0] / lw
+        ly = lclip[1] / lw
+        ld = lclip[2] / lw - depth_eps
+        ld = jnp.where(covered & want, ld, jnp.inf)
+
+        clip_mats = jnp.einsum("ij,njk->nik", m, model, precision="highest")
+        visible = coarse_cull(scene, model, m) & want
+        cclip, cvalid, _ = expand_clip_only(
+            scene, visible, lod, clip_mats, caster_capacity
+        )
+        occ = occlusion_grid(cclip, cvalid, lx, ly, ld, interpret=interpret)
+        planes.append(jnp.where(want, occ, 1.0))
+    return jnp.stack(planes, axis=0)

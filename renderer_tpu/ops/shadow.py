@@ -113,6 +113,8 @@ def render_shadow_atlas_per_light(
     n_slots: int,
     slot_size: int,
     caster_capacity: int,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Depth atlas with PER-LIGHT caster culling + expansion.
 
@@ -121,7 +123,9 @@ def render_shadow_atlas_per_light(
     camera still shadow the view (ref: shadow_mapping.rs:345-491 renders
     per-light draw sets; LOD here reuses the camera's per-instance pick
     where the reference picks by light distance). Shadow rasterization is
-    two-sided."""
+    two-sided. use_pallas runs the tile kernel per slot (measured at the
+    1080p/10k bench, 4x512^2 slots, 64k caster capacity: 2530 -> ~ms-scale
+    vs the XLA scan rasterizer)."""
     from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
 
     def per_slot(slot):
@@ -134,15 +138,24 @@ def render_shadow_atlas_per_light(
         clip, valid, count = expand_clip_only(
             scene, visible, lod, clip_mats, caster_capacity
         )
-        vis = rasterize(
-            clip,
-            valid,
-            slot_size,
-            slot_size,
-            strip_rows=min(32, slot_size),
-            cull_backface=False,
-            count=count,
-        )
+        if use_pallas:
+            from renderer_tpu.ops.raster_pallas import rasterize_pallas
+
+            vis = rasterize_pallas(
+                clip, valid, slot_size, slot_size,
+                cull_backface=False, with_bary=False,
+                interpret=pallas_interpret,
+            )
+        else:
+            vis = rasterize(
+                clip,
+                valid,
+                slot_size,
+                slot_size,
+                strip_rows=min(32, slot_size),
+                cull_backface=False,
+                count=count,
+            )
         return vis.depth
 
     return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))

@@ -415,10 +415,13 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             scene, mats, scene.lights, model, lod,
             cfg.shadow_slots, cfg.shadow_size,
             cfg.shadow_tri_capacity or cfg.tri_capacity,
+            use_pallas=cfg.use_pallas and cfg.shadow_size % 128 == 0,
+            pallas_interpret=cfg.pallas_interpret,
         )
         return {"shadow": (atlas, mats)}
 
-    def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None, rt=None):
+    def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None, rt=None,
+               rt_grid=None):
         vp_inv = prepared[7]
         y0 = _dev_start(rh) if SP else 0
         fh = rh if SP else None
@@ -427,7 +430,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
             return shade_pbr(
                 vis, shade_rec, scene, camera.position, viewproj_inv=vp_inv,
-                shadow=shadow, rt=rt, background=cfg.background,
+                shadow=shadow, rt=rt, rt_grid=rt_grid, background=cfg.background,
                 enable_textures=cfg.enable_textures,
                 enable_normal_maps=cfg.enable_normal_maps,
                 trilinear=cfg.trilinear,
@@ -468,7 +471,28 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     )
     def shade_rt(vis, soup, shade_rec, scene_view, camera, prepared):
         """RT switch: shadow-map lookups replaced by ray-traced shadows (the
-        reference's `rt` toggle swapping to ray-query, gltf_mesh.frag)."""
+        reference's `rt` toggle swapping to ray-query, gltf_mesh.frag).
+
+        Pallas configs use the accelerated light-space-grid traversal with
+        PER-LIGHT caster expansion (ops/rt_grid.py — off-camera casters
+        occlude, Sponza-class caster counts); the XLA fallback keeps the
+        brute-force MXU Moller-Trumbore over the camera stream."""
+        if cfg.use_pallas:
+            from renderer_tpu.ops.shadow import directional_light_matrices
+
+            scene = scene_view
+            model, lod = prepared[0], prepared[4]
+            smin, smax = prepared[5], prepared[6]
+            mats = directional_light_matrices(scene.lights, smin, smax)
+            radius = jnp.linalg.norm(smax - smin) * 0.5 + 1e-3
+            rt_grid = (
+                mats, lod, model, radius,
+                cfg.shadow_tri_capacity or cfg.tri_capacity,
+                cfg.pallas_interpret,
+            )
+            return {img_res: _shade(
+                vis, soup, shade_rec, scene_view, camera, prepared, rt_grid=rt_grid
+            )}
         from renderer_tpu.ops.rt import triangles_world
 
         vp_inv = prepared[7]

@@ -443,6 +443,99 @@ def _slot_map(scene, visible, lod, expand_capacity: int):
     return owner, tri_idx, valid, total
 
 
+def prepare_frame_columns(scene: Scene, camera: Camera):
+    """The whole prepare stage (model matrices, clip matrices, coarse cull,
+    LOD select, scene bounds) in flat column math.
+
+    The einsum formulation materializes (N,4,4)/(N,3) intermediates whose
+    trailing dims pad to (8,128) tiles; every quantity here is an (N,)
+    column, and the (N,4,4) matrices are stacked ONCE at the end for
+    consumers that need them. Returns the pipeline's `prepared` tuple:
+    (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv)."""
+    from renderer_tpu.mathx.camera import camera_matrices, frustum_planes
+
+    inst = scene.instances
+    lib = scene.meshes
+    tt = inst.translation.T  # (3, N)
+    qt = inst.rotation.T     # (4, N)
+    s = inst.scale
+    w, x, y, z = qt[0], qt[1], qt[2], qt[3]
+    r = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    m = [[r[i][j] * s for j in range(3)] + [tt[i]] for i in range(3)]
+
+    _, _, vp = camera_matrices(camera)
+    clip_cols = []
+    for i in range(4):
+        for j in range(4):
+            c = vp[i, 0] * m[0][j] + vp[i, 1] * m[1][j] + vp[i, 2] * m[2][j]
+            if j == 3:
+                c = c + vp[i, 3]
+            clip_cols.append(c)
+
+    # world AABBs (center/extent |linear| trick), all columns
+    mn_t = lib.mesh_aabb_min[inst.mesh_id].T  # (3, N)
+    mx_t = lib.mesh_aabb_max[inst.mesh_id].T
+    c_loc = [(mn_t[k] + mx_t[k]) * 0.5 for k in range(3)]
+    e_loc = [(mx_t[k] - mn_t[k]) * 0.5 for k in range(3)]
+    cw = [
+        m[i][0] * c_loc[0] + m[i][1] * c_loc[1] + m[i][2] * c_loc[2] + m[i][3]
+        for i in range(3)
+    ]
+    ew = [
+        jnp.abs(m[i][0]) * e_loc[0] + jnp.abs(m[i][1]) * e_loc[1]
+        + jnp.abs(m[i][2]) * e_loc[2]
+        for i in range(3)
+    ]
+
+    planes = frustum_planes(vp)  # (6, 4)
+    outside = None
+    for p in range(6):
+        d = planes[p, 0] * cw[0] + planes[p, 1] * cw[1] + planes[p, 2] * cw[2] + planes[p, 3]
+        rr = (
+            jnp.abs(planes[p, 0]) * ew[0]
+            + jnp.abs(planes[p, 1]) * ew[1]
+            + jnp.abs(planes[p, 2]) * ew[2]
+        )
+        out_p = d + rr < 0.0
+        outside = out_p if outside is None else (outside | out_p)
+    visible = inst.alive & ~outside
+
+    # LOD select (screen-coverage proxy; same formula as select_lod)
+    cam_p = camera.position
+    dx = cw[0] - cam_p[0]
+    dy = cw[1] - cam_p[1]
+    dz = cw[2] - cam_p[2]
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    radius = jnp.sqrt(
+        (mx_t[0] - mn_t[0]) ** 2 + (mx_t[1] - mn_t[1]) ** 2 + (mx_t[2] - mn_t[2]) ** 2
+    ) * (0.5 * s)
+    ratio = radius / jnp.maximum(dist, 1e-6)
+    lod = jnp.floor(jnp.log2(jnp.maximum(0.25 / jnp.maximum(ratio, 1e-6), 1.0)))
+    lod = jnp.clip(lod, 0, lib.lod_tri_count.shape[1] - 1).astype(jnp.int32)
+
+    # scene bounds over alive instances (shadow camera fit)
+    big = jnp.float32(1e9)
+    alive = inst.alive
+    scene_min = jnp.stack(
+        [jnp.min(jnp.where(alive, cw[k] - ew[k], big)) for k in range(3)]
+    )
+    scene_max = jnp.stack(
+        [jnp.max(jnp.where(alive, cw[k] + ew[k], -big)) for k in range(3)]
+    )
+
+    # materialize the (N, 4, 4) forms once for matrix consumers
+    n = s.shape[0]
+    bottom = [jnp.zeros((n,), jnp.float32)] * 3 + [jnp.ones((n,), jnp.float32)]
+    model = jnp.stack(m[0] + m[1] + m[2] + bottom, axis=-1).reshape(n, 4, 4)
+    clip_mats = jnp.stack(clip_cols, axis=-1).reshape(n, 4, 4)
+    vp_inv = jnp.linalg.inv(vp)
+    return model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv
+
+
 def expand_clip_only(
     scene: Scene,
     visible: jnp.ndarray,

@@ -274,7 +274,7 @@ def _raster_kernel(
             # reject skips the ~20 vector ops for triangles whose bbox
             # misses this tile (block bboxes are unions; individual
             # triangles often miss).
-            def tri_body(k, _):
+            def tri_one(k):
                 def s(col):
                     return buf[slot, k, col]
 
@@ -324,9 +324,14 @@ def _raster_kernel(
                         lam1_ref[:] = jnp.where(closer, lam1, lam1_ref[:])
                         lsum_ref[:] = jnp.where(closer, lam0 + lam1 + lam2, lsum_ref[:])
 
+            def tri_body(k2, _):
+                # unrolled x2: independent scalar loads/branches of the
+                # second triangle overlap the first's vector work
+                tri_one(2 * k2)
+                tri_one(2 * k2 + 1)
                 return 0
 
-            jax.lax.fori_loop(0, BLOCK, tri_body, 0)
+            jax.lax.fori_loop(0, BLOCK // 2, tri_body, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)

@@ -193,29 +193,10 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
 
     @g.pass_("prepare", reads=["scene_view", "camera"], writes=["prepared", "prev_vp"])
     def prepare(scene_view, camera):
-        scene = scene_view
-        import jax.numpy as jnp
-
-        from renderer_tpu import mathx
-
-        model = geometry.instance_matrices(scene)
-        vp, clip_mats = geometry.camera_clip_matrices(camera, model)
-        visible = geometry.coarse_cull(scene, model, vp)
-        lod = geometry.select_lod(scene, camera, model)
-        # world-space scene bounds over alive instances (shadow camera fit)
-        inst = scene.instances
-        mn = scene.meshes.mesh_aabb_min[inst.mesh_id]
-        mx = scene.meshes.mesh_aabb_max[inst.mesh_id]
-        wmin, wmax = mathx.transform_aabb(model, mn, mx)
-        big = jnp.float32(1e9)
-        alive = inst.alive[:, None]
-        scene_min = jnp.min(jnp.where(alive, wmin, big), axis=0)
-        scene_max = jnp.max(jnp.where(alive, wmax, -big), axis=0)
-        vp_inv = jnp.linalg.inv(vp)
-        return {
-            "prepared": (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv),
-            "prev_vp": vp,
-        }
+        """Model/clip matrices + coarse cull + LOD + scene bounds in one
+        column-math computation (geometry.prepare_frame_columns)."""
+        prepared = geometry.prepare_frame_columns(scene_view, camera)
+        return {"prepared": prepared, "prev_vp": prepared[1]}
 
     def _cull_body(scene, prepared, visible):
         model, vp, clip_mats, _, lod = prepared[:5]

@@ -408,39 +408,151 @@ def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray) -> list:
     return cols
 
 
-def _slot_map(scene, visible, lod, expand_capacity: int):
-    """slot -> (owner instance, library triangle) for the expansion, via ONE
-    packed scatter-max + cummax (owner and start share a u32; owner is
+def _slot_map_counts(counts, base_i, capacity: int):
+    """Generic expansion slot map: slot -> (owner, base_i[owner] + local) via
+    ONE packed scatter-max + cummax (owner and start share a u32; owner is
     monotone in start so the packed key is monotone). Returns
-    (owner, tri_idx, valid, total)."""
-    inst = scene.instances
-    lib = scene.meshes
-    n = inst.mesh_id.shape[0]
-    tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
-    ends = jnp.cumsum(tc)
+    (owner, idx, valid, total)."""
+    n = counts.shape[0]
+    ends = jnp.cumsum(counts)
     total = ends[-1]
-    starts = ends - tc
-    base_i = lib.lod_index_offset[inst.mesh_id, lod]  # (N,) per-instance
-    has = tc > 0
-    dest = jnp.where(has, starts, expand_capacity)
-    bits_s = max(1, (expand_capacity - 1).bit_length())
+    starts = ends - counts
+    has = counts > 0
+    dest = jnp.where(has, starts, capacity)
+    bits_s = max(1, (capacity - 1).bit_length())
     bits_o = max(1, (n - 1).bit_length())
-    slots = jnp.arange(expand_capacity, dtype=jnp.int32)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
     valid = slots < total
     if bits_s + bits_o <= 32:
         key = (jnp.arange(n, dtype=jnp.uint32) << bits_s) | starts.astype(jnp.uint32)
-        mark = jnp.zeros((expand_capacity,), jnp.uint32).at[dest].max(key, mode="drop")
+        mark = jnp.zeros((capacity,), jnp.uint32).at[dest].max(key, mode="drop")
         run = jax.lax.cummax(mark)
         owner = (run >> bits_s).astype(jnp.int32)
         start = (run & jnp.uint32((1 << bits_s) - 1)).astype(jnp.int32)
     else:  # capacity too large to pack: two scans
         ids = jnp.arange(n, dtype=jnp.int32)
-        mark_o = jnp.zeros((expand_capacity,), jnp.int32).at[dest].max(ids + 1, mode="drop")
+        mark_o = jnp.zeros((capacity,), jnp.int32).at[dest].max(ids + 1, mode="drop")
         owner = jnp.maximum(jax.lax.cummax(mark_o) - 1, 0)
-        mark_s = jnp.zeros((expand_capacity,), jnp.int32).at[dest].max(starts, mode="drop")
+        mark_s = jnp.zeros((capacity,), jnp.int32).at[dest].max(starts, mode="drop")
         start = jax.lax.cummax(mark_s)
-    tri_idx = jnp.where(valid, base_i[owner] + (slots - start), 0)
-    return owner, tri_idx, valid, total
+    idx = jnp.where(valid, base_i[owner] + (slots - start), 0)
+    return owner, idx, valid, total
+
+
+def _slot_map(scene, visible, lod, expand_capacity: int):
+    """Per-TRIANGLE expansion slot map (see _slot_map_counts)."""
+    inst = scene.instances
+    lib = scene.meshes
+    tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
+    base_i = lib.lod_index_offset[inst.mesh_id, lod]
+    return _slot_map_counts(tc, base_i, expand_capacity)
+
+
+def _cluster_slot_map(
+    scene, visible, lod, expand_capacity: int, model, camera_pos, vp,
+    cull_backface: bool,
+):
+    """Two-level cluster expansion with cluster-grain culling.
+
+    Level 1 runs the slot map at CLUSTER granularity (1/32 the scan width)
+    and culls whole clusters by bounding-sphere-vs-frustum and normal-cone
+    backface tests (meshlet-style; the reference's analogue is its per-mesh
+    cull dispatch granularity). Level 2 is a fixed-stride expansion of the
+    surviving clusters — no per-triangle scan at all. Returns
+    (owner, tri_idx, valid) with valid covering exactly the surviving
+    clusters' 32-triangle ranges (range padding is degenerate and falls to
+    the per-triangle mask)."""
+    from renderer_tpu.mathx.camera import frustum_planes
+    from renderer_tpu.scene.types import (
+        CL_AXIS, CL_CENTER, CL_COS, CL_COUNT, CL_RADIUS, CL_SIN, CLUSTER,
+    )
+
+    inst = scene.instances
+    lib = scene.meshes
+    n = inst.mesh_id.shape[0]
+    assert expand_capacity % CLUSTER == 0
+    e_c = expand_capacity // CLUSTER
+
+    tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
+    ci = (tc + CLUSTER - 1) // CLUSTER
+    base_c = lib.lod_index_offset[inst.mesh_id, lod] // CLUSTER
+    # the pre-cull cluster list gets 2x headroom: cluster-level ops are ~1/32
+    # the cost of triangle slots, and range padding inflates the REQUEST even
+    # though cone/frustum culling shrinks the SURVIVORS back under e_c
+    # (truncating before culling once silently dropped ~4% of the bench's
+    # visible triangles)
+    owner_c, cl_idx, valid_c, _ = _slot_map_counts(ci, base_c, 2 * e_c)
+
+    keep = valid_c
+    cdt = lib.cluster_data[cl_idx].T  # (CL_COLS, E_c) — rows are free
+    # real-prefix length per cluster: pad slots are masked STRUCTURALLY
+    # (their degenerate det is NOT exactly 0 under FMA contraction)
+    real_count = cdt[CL_COUNT].astype(jnp.int32)
+    if camera_pos is not None:
+        mt = model.reshape(n, 16)[owner_c].T  # (16, E_c)
+        sc = inst.scale[owner_c]
+        c0, c1, c2 = cdt[CL_CENTER], cdt[CL_CENTER + 1], cdt[CL_CENTER + 2]
+        cw = [mt[4 * i] * c0 + mt[4 * i + 1] * c1 + mt[4 * i + 2] * c2 + mt[4 * i + 3]
+              for i in range(3)]
+        r_w = cdt[CL_RADIUS] * sc
+        planes = frustum_planes(vp)
+        outside = None
+        for p in range(6):
+            d = (planes[p, 0] * cw[0] + planes[p, 1] * cw[1]
+                 + planes[p, 2] * cw[2] + planes[p, 3])
+            o = d < -r_w
+            outside = o if outside is None else (outside | o)
+            if p == 4:
+                d_near = d
+        keep &= ~outside
+        if cull_backface:
+            a0, a1, a2 = cdt[CL_AXIS], cdt[CL_AXIS + 1], cdt[CL_AXIS + 2]
+            # axis through the model linear part has length `scale`; the
+            # cone test is scale-multiplied through so no normalization:
+            #   cos*dot(axis_s,u) + s*sin*|u| + s*r_w < 0  (u = eye - center)
+            aw = [mt[4 * i] * a0 + mt[4 * i + 1] * a1 + mt[4 * i + 2] * a2
+                  for i in range(3)]
+            u = [camera_pos[k] - cw[k] for k in range(3)]
+            ulen = jnp.sqrt(u[0] * u[0] + u[1] * u[1] + u[2] * u[2])
+            dot_au = aw[0] * u[0] + aw[1] * u[1] + aw[2] * u[2]
+            backfacing = (
+                cdt[CL_COS] * dot_au + sc * cdt[CL_SIN] * ulen + sc * r_w < 0
+            )
+            # clusters near/behind the eye plane can hold w-crossing
+            # triangles whose clip-space facing differs from the world test;
+            # only cone-cull spheres strictly inside the near halfspace
+            safe = d_near > r_w
+            keep &= ~(backfacing & safe)
+
+    # compact surviving clusters, then a second slot map expands them with
+    # their EXACT real triangle counts — no padding inflation of the
+    # triangle budget (whole-cluster striding once truncated ~4% of the
+    # bench's visible triangles when padded demand exceeded capacity)
+    n_cc = 2 * e_c
+    posn = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, posn, n_cc)
+    counts_cc = jnp.zeros((n_cc,), jnp.int32).at[dest].set(real_count, mode="drop")
+    bits_b = max(1, (lib.indices.shape[0] - 1).bit_length())
+    bits_o = max(1, (n - 1).bit_length())
+    if bits_b + bits_o <= 31:
+        # pack (owner << bits_b) | tri_base as the slot-map "base": adding
+        # local (< CLUSTER <= tri range granularity) never carries into the
+        # owner bits, so one slot map yields both ids with zero extra gathers
+        packed = (owner_c.astype(jnp.int32) << bits_b) | (cl_idx * CLUSTER)
+        base_cc = jnp.zeros((n_cc,), jnp.int32).at[dest].set(packed, mode="drop")
+        _, idx, valid, _ = _slot_map_counts(counts_cc, base_cc, expand_capacity)
+        owner = idx >> bits_b
+        tri_idx = jnp.where(valid, idx & ((1 << bits_b) - 1), 0)
+    else:
+        owner_cc = jnp.zeros((n_cc,), jnp.int32).at[dest].set(owner_c, mode="drop")
+        base_cc = jnp.zeros((n_cc,), jnp.int32).at[dest].set(
+            cl_idx * CLUSTER, mode="drop"
+        )
+        c_slot, idx, valid, _ = _slot_map_counts(counts_cc, base_cc, expand_capacity)
+        owner = owner_cc[c_slot]
+        tri_idx = jnp.where(valid, idx, 0)
+    owner = jnp.clip(owner, 0, n - 1)
+    return owner, tri_idx, valid
 
 
 def prepare_frame_columns(scene: Scene, camera: Camera):
@@ -451,7 +563,8 @@ def prepare_frame_columns(scene: Scene, camera: Camera):
     trailing dims pad to (8,128) tiles; every quantity here is an (N,)
     column, and the (N,4,4) matrices are stacked ONCE at the end for
     consumers that need them. Returns the pipeline's `prepared` tuple:
-    (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv)."""
+    (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv,
+    camera_position)."""
     from renderer_tpu.mathx.camera import camera_matrices, frustum_planes
 
     inst = scene.instances
@@ -533,7 +646,10 @@ def prepare_frame_columns(scene: Scene, camera: Camera):
     model = jnp.stack(m[0] + m[1] + m[2] + bottom, axis=-1).reshape(n, 4, 4)
     clip_mats = jnp.stack(clip_cols, axis=-1).reshape(n, 4, 4)
     vp_inv = jnp.linalg.inv(vp)
-    return model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv
+    return (
+        model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv,
+        camera.position,
+    )
 
 
 def expand_clip_only(
@@ -578,6 +694,8 @@ def build_draw_stream(
     height: int,
     cull_backface: bool = True,
     want_soup_attrs: bool = False,
+    camera_pos=None,  # (3,) eye — enables cluster-grain culling when the
+    vp=None,          # (4,4) viewproj — scene carries cluster_data
 ):
     """Fused expansion + per-triangle cull + Morton sort + shade-record
     build. Returns (TriangleSoup, (T, 128) shade records).
@@ -604,7 +722,18 @@ def build_draw_stream(
 
     inst = scene.instances
     n = inst.mesh_id.shape[0]
-    owner, tri_idx, valid, total = _slot_map(scene, visible, lod, expand_capacity)
+    use_clusters = (
+        lib.cluster_data is not None
+        and expand_capacity % 32 == 0
+        and camera_pos is not None
+    )
+    if use_clusters:
+        owner, tri_idx, valid = _cluster_slot_map(
+            scene, visible, lod, expand_capacity, model, camera_pos, vp,
+            cull_backface,
+        )
+    else:
+        owner, tri_idx, valid, _ = _slot_map(scene, visible, lod, expand_capacity)
 
     # --- phase A: positions only, column math -------------------------------
     rec = lib.tri_rec[tri_idx]  # (E, 36) — THE wide gather

@@ -172,6 +172,6 @@ def pose_scene(scene: Scene, time) -> Scene:
     # gather-per-corner path for skinned views)
     return scene._replace(
         meshes=scene.meshes._replace(
-            positions=new_pos, normals=new_nrm, tri_rec=None
+            positions=new_pos, normals=new_nrm, tri_rec=None, cluster_data=None
         )
     )

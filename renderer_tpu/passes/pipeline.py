@@ -46,6 +46,11 @@ class PipelineConfig:
     # per-light caster expansion capacity (0 = tri_capacity); casters are
     # culled against each LIGHT's frustum, not the camera's
     shadow_tri_capacity: int = 0
+    # cluster-grain (meshlet-style) frustum/backface culling before
+    # expansion. Wins on full-LOD/high-poly content where 32-triangle
+    # normal cones are tight; costs ~5 ms at the LOD-heavy 10k bench where
+    # cones are near-hemispheric (coarse LODs), so it is a knob.
+    cluster_cull: bool = True
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -232,6 +237,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 cfg.expand_capacity // n_dev, cfg.tri_capacity // n_dev,
                 rw, rh, cull_backface=cfg.cull_backface,
                 want_soup_attrs=(cfg.shading != "pbr"),
+                camera_pos=prepared[8] if cfg.cluster_cull else None,
+                vp=prepared[1],
             )
             # lift shard-local instance ids to global
             soup = soup._replace(instance=soup.instance * n_dev + dev)
@@ -254,6 +261,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 cfg.expand_capacity, cfg.tri_capacity,
                 rw, rh, cull_backface=cfg.cull_backface,
                 want_soup_attrs=(cfg.shading != "pbr"),
+                camera_pos=prepared[8] if cfg.cluster_cull else None,
+                vp=prepared[1],
             )
         else:
             soup = geometry.expand_draw_stream(

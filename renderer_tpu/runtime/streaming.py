@@ -52,16 +52,22 @@ def _upload_vert_chunk(scene: Scene, pos, nrm, uv, tan, v_off):
 
 
 @functools.partial(jax.jit, donate_argnums=0)
-def _upload_index_chunk(scene: Scene, idx, t_off):
+def _upload_index_chunk(scene: Scene, idx, t_off, n_real):
     """Index upload also refreshes the chunk's tri_rec rows (the wide
-    per-triangle attribute records the fast expansion path gathers) — the
-    mesh's vertex chunks land first, so the attribute pools are current."""
+    per-triangle attribute records the fast expansion path gathers) and its
+    cluster_data rows (sphere + normal cone for cluster culling) — the
+    mesh's vertex chunks land first, so the attribute pools are current.
+    Chunks are CLUSTER-aligned (t_off and the chunk length are multiples of
+    32); rows past n_real are range padding (degenerate)."""
+    from renderer_tpu.scene.types import CL_COLS, CLUSTER
+
     lib = scene.meshes
     new_lib = lib._replace(
         indices=jax.lax.dynamic_update_slice(lib.indices, idx, (t_off, 0))
     )
+    nrows = idx.shape[0]
+    real = jnp.arange(nrows) < n_real
     if lib.tri_rec is not None:
-        nrows = idx.shape[0]
         rows = jnp.concatenate(
             [
                 new_lib.positions[idx].reshape(nrows, 9),
@@ -71,8 +77,50 @@ def _upload_index_chunk(scene: Scene, idx, t_off):
             ],
             axis=1,
         )
+        rows = jnp.where(real[:, None], rows, 0.0)
         new_lib = new_lib._replace(
             tri_rec=jax.lax.dynamic_update_slice(lib.tri_rec, rows, (t_off, 0))
+        )
+    if lib.cluster_data is not None and nrows % CLUSTER == 0:
+        ncl = nrows // CLUSTER
+        v = new_lib.positions[idx].reshape(ncl, CLUSTER, 3, 3)
+        rm = real.reshape(ncl, CLUSTER)
+        fn = jnp.cross(v[:, :, 1] - v[:, :, 0], v[:, :, 2] - v[:, :, 0])
+        ln = jnp.linalg.norm(fn, axis=-1)
+        ok_n = rm & (ln > 1e-12)
+        n_unit = fn / jnp.maximum(ln, 1e-12)[..., None]
+        wv = jnp.repeat(rm, 3, axis=1)[..., None]
+        verts = v.reshape(ncl, CLUSTER * 3, 3)
+        center = (verts * wv).sum(axis=1) / jnp.maximum(wv.sum(axis=1), 1)
+        radius = jnp.sqrt(
+            jnp.max(
+                jnp.where(wv[..., 0], ((verts - center[:, None]) ** 2).sum(-1), 0.0),
+                axis=1,
+            )
+        )
+        axis = (n_unit * ok_n[..., None]).sum(axis=1)
+        alen = jnp.linalg.norm(axis, axis=-1)
+        axis = axis / jnp.maximum(alen, 1e-12)[:, None]
+        cosang = jnp.where(ok_n, (n_unit * axis[:, None]).sum(-1), 1.0).min(axis=1)
+        degenerate = (rm & ~ok_n).any(axis=1) | (alen < 1e-6) | (cosang < 0.1)
+        cosang = jnp.clip(cosang, -1.0, 1.0)
+        sinang = jnp.sqrt(jnp.maximum(1.0 - cosang * cosang, 0.0))
+        crows = jnp.concatenate(
+            [
+                center,
+                radius[:, None],
+                axis,
+                jnp.where(degenerate, -1.0, cosang)[:, None],
+                jnp.where(degenerate, 2.0, sinang)[:, None],
+                rm.sum(axis=1).astype(jnp.float32)[:, None],  # CL_COUNT
+                jnp.zeros((ncl, CL_COLS - 10), jnp.float32),
+            ],
+            axis=1,
+        )
+        new_lib = new_lib._replace(
+            cluster_data=jax.lax.dynamic_update_slice(
+                lib.cluster_data, crows, (t_off // CLUSTER, 0)
+            )
         )
     return scene._replace(meshes=new_lib)
 
@@ -237,12 +285,16 @@ class SceneStreamer:
         A handful of tiers keeps the set of compiled upload programs small;
         when no tier fits but the data itself does, fall back to an
         exact-fit chunk (one extra compile near capacity exhaustion beats a
-        spurious MemoryError with slots still free)."""
+        spurious MemoryError with slots still free). Chunks stay CLUSTER-
+        aligned when possible so index uploads refresh cluster_data rows."""
         for c in (256, 1024, biggest):
             if n <= c <= cap_left:
                 return c
+        n32 = -(-n // 32) * 32
+        if n32 <= cap_left:
+            return n32
         if n <= cap_left:
-            return n
+            return n  # last slots at exact capacity (cluster rows skipped)
         return None
 
     def _upload(self, mesh: HostMesh, material_id, translation, rotation, scale):
@@ -251,7 +303,10 @@ class SceneStreamer:
         lib = self.scene.meshes
         v_cap = lib.positions.shape[0]
         t_cap = lib.indices.shape[0]
-        if self._v_off + v > v_cap or self._t_off + tcnt > t_cap:
+        tpad = -(-tcnt // 32) * 32  # keep ranges CLUSTER-aligned
+        if self._v_off + v > v_cap or self._t_off + tpad > t_cap:
+            tpad = tcnt  # try unaligned as a last resort at exact capacity
+        if self._v_off + v > v_cap or self._t_off + tpad > t_cap:
             raise MemoryError(
                 f"mesh library capacity exhausted during streaming "
                 f"({v} verts / {tcnt} tris vs {v_cap - self._v_off} / "
@@ -286,6 +341,7 @@ class SceneStreamer:
                 self.scene,
                 jnp.asarray(self._stage(idx_global[off:off + n], chunk, (3,))),
                 jnp.int32(self._t_off + off),
+                jnp.int32(n),
             )
             self.stats["chunks"] += 1
             off += n
@@ -311,7 +367,7 @@ class SceneStreamer:
             jnp.float32(scale),
         )
         self._v_off += v
-        self._t_off += tcnt
+        self._t_off += tpad
         self._mesh_slot += 1
         self._inst_slot += 1
 

@@ -49,6 +49,85 @@ class HostMesh:
             self.tangents[:, 3] = 1.0
 
 
+def sort_tris_for_clusters(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Reorder one LOD range's triangles by the Morton code of their
+    octahedral-mapped face normal, so consecutive CLUSTER-sized groups share
+    tight normal cones (raw index order often wraps whole azimuth bands —
+    e.g. a ring of a UV sphere — making cones near-hemispheric and
+    backface culling useless: measured 0.5% cluster cull rate unsorted)."""
+    v = positions[indices]
+    fn = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+    n = fn / np.maximum(ln, 1e-12)
+    # octahedral map to [0,1]^2
+    denom = np.abs(n).sum(axis=-1, keepdims=True)
+    p = n[:, :2] / np.maximum(denom, 1e-12)
+    neg = n[:, 2] < 0
+    fold = (1.0 - np.abs(p[:, ::-1])) * np.where(p >= 0, 1.0, -1.0)
+    p = np.where(neg[:, None], fold, p)
+    q = np.clip(((p * 0.5 + 0.5) * 1023).astype(np.int64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    key = spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+    return indices[np.argsort(key, kind="stable")]
+
+
+def compute_cluster_data(
+    positions: np.ndarray, indices: np.ndarray, real: np.ndarray
+) -> np.ndarray:
+    """Per-cluster bounding sphere + normal cone (object space).
+
+    indices: (T, 3) with T a CLUSTER multiple; real: (T,) mask excluding the
+    range-padding degenerates. Clusters whose normals are degenerate or
+    spread beyond ~84 degrees store sin > 1, disabling backface culling for
+    that cluster (frustum sphere culling still applies)."""
+    from renderer_tpu.scene.types import CL_COLS, CLUSTER
+
+    t = len(indices)
+    ncl = t // CLUSTER
+    v = positions[indices].reshape(ncl, CLUSTER, 3, 3)
+    rm = real.reshape(ncl, CLUSTER)
+    fn = np.cross(v[:, :, 1] - v[:, :, 0], v[:, :, 2] - v[:, :, 0])  # (C, 32, 3)
+    ln = np.linalg.norm(fn, axis=-1)
+    ok_n = rm & (ln > 1e-12)
+    n_unit = fn / np.maximum(ln, 1e-12)[..., None]
+
+    out = np.zeros((ncl, CL_COLS), np.float32)
+    w = rm[..., None, None].astype(np.float32)
+    denom = np.maximum(rm.sum(axis=1), 1)[:, None]
+    verts = v.reshape(ncl, CLUSTER * 3, 3)
+    wv = np.repeat(rm, 3, axis=1)[..., None]
+    center = (verts * wv).sum(axis=1) / np.maximum(wv.sum(axis=1), 1)
+    radius = np.sqrt(
+        np.max(
+            np.where(wv[..., 0], ((verts - center[:, None]) ** 2).sum(-1), 0.0),
+            axis=1,
+        )
+    )
+    axis = (n_unit * ok_n[..., None]).sum(axis=1)
+    alen = np.linalg.norm(axis, axis=-1)
+    axis = axis / np.maximum(alen, 1e-12)[:, None]
+    cosang = np.where(ok_n, (n_unit * axis[:, None]).sum(-1), 1.0).min(axis=1)
+    degenerate = (rm & ~ok_n).any(axis=1) | (alen < 1e-6) | (cosang < 0.1)
+    cosang = np.clip(cosang, -1.0, 1.0)
+    sinang = np.sqrt(np.maximum(1.0 - cosang * cosang, 0.0))
+    sinang = np.where(degenerate, 2.0, sinang)  # 2.0 => never backface-cull
+    del denom, w
+    out[:, 0:3] = center
+    out[:, 3] = radius
+    out[:, 4:7] = axis
+    out[:, 7] = np.where(degenerate, -1.0, cosang)
+    out[:, 8] = sinang
+    out[:, 9] = rm.sum(axis=1)  # CL_COUNT: real prefix length
+    return out
+
+
 def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals."""
     p = positions
@@ -263,14 +342,22 @@ class SceneBuilder:
             for k, v in MeshLibrary.empty(lim)._asdict().items()
         }
 
+        from renderer_tpu.scene.types import CLUSTER
+
+        def ceil_cl(t):
+            return -(-t // CLUSTER) * CLUSTER
+
         voff = 0
         toff = 0
+        real_tri = np.zeros(lim.max_triangles, bool)  # excludes cluster padding
         for m, mesh in enumerate(self._meshes):
             v = len(mesh.positions)
             lods = [mesh.indices] + list(mesh.lods or [])
             if len(lods) > L:
                 raise ValueError(f"too many LODs ({len(lods)} > {L})")
-            total_t = sum(len(ix) for ix in lods)
+            # every LOD range is padded to a CLUSTER multiple (degenerate
+            # zero-index triangles) so cluster ids are just tri_index//CLUSTER
+            total_t = sum(ceil_cl(len(ix)) for ix in lods)
             if voff + v > lim.max_vertices or toff + total_t > lim.max_triangles:
                 raise ValueError("mesh library capacity exceeded")
             lib["positions"][voff : voff + v] = mesh.positions
@@ -282,11 +369,15 @@ class SceneBuilder:
             lib["mesh_aabb_min"][m] = mesh.positions.min(axis=0)
             lib["mesh_aabb_max"][m] = mesh.positions.max(axis=0)
             for l, ix in enumerate(lods):
+                ix = np.ascontiguousarray(np.asarray(ix, np.int32)).reshape(-1, 3)
                 t = len(ix)
-                lib["indices"][toff : toff + t] = np.asarray(ix, np.int32) + voff
+                if t > CLUSTER:
+                    ix = sort_tris_for_clusters(mesh.positions, ix)
+                lib["indices"][toff : toff + t] = ix + voff
                 lib["lod_index_offset"][m, l] = toff
                 lib["lod_tri_count"][m, l] = t
-                toff += t
+                real_tri[toff : toff + t] = True
+                toff += ceil_cl(t)
             # missing LOD slots fall back to the last available LOD
             for l in range(len(lods), L):
                 lib["lod_index_offset"][m, l] = lib["lod_index_offset"][m, len(lods) - 1]
@@ -297,7 +388,7 @@ class SceneBuilder:
         lib["mesh_count"] = np.int32(len(self._meshes))
         if lib["tri_rec"] is not None and toff > 0:
             idx = lib["indices"][:toff]
-            lib["tri_rec"][:toff] = np.concatenate(
+            rec = np.concatenate(
                 [
                     lib["positions"][idx].reshape(toff, 9),
                     lib["normals"][idx].reshape(toff, 9),
@@ -305,6 +396,12 @@ class SceneBuilder:
                     lib["tangents"][idx].reshape(toff, 12),
                 ],
                 axis=1,
+            )
+            rec[~real_tri[:toff]] = 0.0  # cluster padding: fully degenerate
+            lib["tri_rec"][:toff] = rec
+        if lib["cluster_data"] is not None and toff > 0:
+            lib["cluster_data"][: toff // CLUSTER] = compute_cluster_data(
+                lib["positions"], lib["indices"][:toff], real_tri[:toff]
             )
         meshes = MeshLibrary(
             **{k: (jnp.asarray(v) if v is not None else None) for k, v in lib.items()}

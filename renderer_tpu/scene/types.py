@@ -63,6 +63,25 @@ TR_TAN = 24
 TR_COLS = 36
 TRI_REC_MAX_BYTES = 1 << 28  # 256 MB (512 B padded row per triangle slot)
 
+# triangle clusters (meshlet analogue): every (mesh, LOD) index range is
+# padded to a CLUSTER multiple so cluster c covers library triangles
+# [32c, 32c+32); cluster_data rows hold the object-space bounding sphere +
+# normal cone used for cluster-level frustum/backface culling before
+# draw-stream expansion (ref: per-mesh dispatch granularity of the cull
+# compute pass; meshopt-style cone culling)
+CLUSTER = 32
+CL_CENTER = 0   # 0..2 bounding-sphere center (object space)
+CL_RADIUS = 3
+CL_AXIS = 4     # 4..6 normal-cone axis (unit)
+CL_COS = 7      # cone half-angle cos
+CL_SIN = 8      # cone half-angle sin (> 1 disables backface culling)
+# real (non-padding) triangles in the cluster, always a prefix. Pad slots
+# are masked STRUCTURALLY with this count: relying on their degenerate
+# det == 0 breaks under XLA's FMA contraction (x*y - y*x leaves a ~1-ulp
+# residual when fused), which once let pads rasterize garbage.
+CL_COUNT = 9
+CL_COLS = 12
+
 
 class MeshLibrary(NamedTuple):
     """Consolidated mesh megabuffers + per-mesh directory.
@@ -101,6 +120,9 @@ class MeshLibrary(NamedTuple):
     # capacity would exceed TRI_REC_MAX_BYTES (rows pad to 512 B physical).
     # Invalidated (None) by the pose pass for skinned scene views.
     tri_rec: jnp.ndarray = None
+    # (T // CLUSTER, CL_COLS) f32 per-cluster sphere + normal cone (see
+    # CL_* constants); present iff tri_rec is (same gating/invalidations)
+    cluster_data: jnp.ndarray = None
 
     @staticmethod
     def empty(limits: SceneLimits) -> "MeshLibrary":
@@ -124,6 +146,11 @@ class MeshLibrary(NamedTuple):
             mesh_aabb_max=jnp.zeros((M, 3), f32),
             tri_rec=(
                 jnp.zeros((T, TR_COLS), f32)
+                if T * 512 <= TRI_REC_MAX_BYTES
+                else None
+            ),
+            cluster_data=(
+                jnp.zeros((T // CLUSTER, CL_COLS), f32)
                 if T * 512 <= TRI_REC_MAX_BYTES
                 else None
             ),

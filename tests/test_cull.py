@@ -188,3 +188,65 @@ def test_build_draw_stream_matches_legacy():
         np.testing.assert_allclose(
             rec_l[i, 40:49] / scale, rec_f[j, 40:49] / scale, atol=1e-3
         )
+
+
+def test_cluster_cone_culling_is_conservative():
+    """Cluster-grain frustum+cone culling (build_draw_stream with camera
+    info) must remove ONLY clusters whose every triangle the per-triangle
+    cull would kill anyway: the surviving (instance, tri) set equals the
+    legacy path's, on randomized rotated scenes and cameras."""
+    import jax
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.ops import geometry
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        b = SceneBuilder(SceneLimits.tiny())
+        meshes = [
+            b.add_mesh(primitives.box()),
+            b.add_mesh(primitives.uv_sphere(rings=6, sectors=9)),
+            b.add_mesh(primitives.torus(rings=6, sides=5)),
+        ]
+        m = b.add_material()
+        for i in range(10):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            ang = rng.uniform(0, 2 * np.pi)
+            q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * ax])
+            b.add_instance(
+                meshes[i % 3], m,
+                translation=tuple(rng.uniform(-8, 8, 3)),
+                rotation=tuple(q),
+                scale=float(rng.uniform(0.4, 1.8)),
+            )
+        scene = b.build()
+        assert scene.meshes.cluster_data is not None
+        cam = Camera.create(
+            position=jnp.asarray(rng.uniform(-4, 4, 3), jnp.float32),
+            near=0.1, far=60.0,
+        )
+        prepared = geometry.prepare_frame_columns(scene, cam)
+        model, vp, clip_mats, visible, lod = prepared[:5]
+
+        # under jit: FMA contraction once let degenerate cluster padding
+        # pass the det test — the jitted path is the one that must be exact
+        soup, _ = jax.jit(
+            lambda s, v, l, cm, mo, cp, vpm: geometry.build_draw_stream(
+                s, v, l, cm, mo, 4096, 2048, 128, 64, camera_pos=cp, vp=vpm
+            )
+        )(scene, visible, lod, clip_mats, model, prepared[8], vp)
+        legacy = compact_soup(
+            geometry.cull_triangles(
+                geometry.expand_draw_stream(scene, visible, lod, clip_mats, model, 4096)
+            )
+        )
+        n_f, n_l = int(soup.count), int(legacy.count)
+        set_f = set(zip(np.asarray(soup.instance[:n_f]).tolist(),
+                        np.asarray(soup.tri_idx[:n_f]).tolist()))
+        set_l = set(zip(np.asarray(legacy.instance[:n_l]).tolist(),
+                        np.asarray(legacy.tri_idx[:n_l]).tolist()))
+        assert set_f == set_l, (
+            f"trial {trial}: cluster culling dropped "
+            f"{sorted(set_l - set_f)[:5]} / added {sorted(set_f - set_l)[:5]}"
+        )

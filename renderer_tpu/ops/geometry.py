@@ -992,10 +992,12 @@ def unproject_depth(
     row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + jnp.asarray(y0, jnp.float32) + 0.5
     x = col / width * 2.0 - 1.0
     y = 1.0 - row / full_height * 2.0
-    ndc = jnp.stack([x, y, depth, jnp.ones_like(depth)], axis=0)  # (4, H, W)
-    world_h = jnp.einsum("ij,jhw->ihw", viewproj_inv, ndc, precision="highest")
-    wch = world_h[3:4]
-    return world_h[:3] / jnp.where(jnp.abs(wch) > 1e-12, wch, 1e-12)
+    # plane-at-a-time FMAs (no stacked (4, H, W) intermediate + einsum)
+    m = viewproj_inv
+    planes = [m[i, 0] * x + m[i, 1] * y + m[i, 2] * depth + m[i, 3] for i in range(4)]
+    wch = planes[3]
+    inv_w = 1.0 / jnp.where(jnp.abs(wch) > 1e-12, wch, 1e-12)
+    return jnp.stack([planes[0] * inv_w, planes[1] * inv_w, planes[2] * inv_w], axis=0)
 
 
 def pixel_homogeneous(clip: jnp.ndarray, width: int, height: int) -> jnp.ndarray:

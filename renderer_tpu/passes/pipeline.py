@@ -48,9 +48,10 @@ class PipelineConfig:
     shadow_tri_capacity: int = 0
     # cluster-grain (meshlet-style) frustum/backface culling before
     # expansion. Wins on full-LOD/high-poly content where 32-triangle
-    # normal cones are tight; costs ~5 ms at the LOD-heavy 10k bench where
-    # cones are near-hemispheric (coarse LODs), so it is a knob.
-    cluster_cull: bool = True
+    # normal cones are tight; the LOD-heavy instancing bench measures ~5 ms
+    # cost for ~2.5% cluster cull (coarse LODs make cones near-hemispheric),
+    # so it defaults off and should be enabled for detailed-geometry scenes.
+    cluster_cull: bool = False
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False

@@ -145,3 +145,31 @@ def test_pallas_pbr_matches_xla_pbr_image():
     assert (err < 0.02).mean() > 0.95, (err.max(), err.mean())
     assert err.mean() < 0.005, err.mean()
     assert abs(img_p.mean() - img_x.mean()) < 0.01
+
+
+def test_cluster_cull_pipeline_image_parity():
+    """cluster_cull=True produces the same image as the default path (the
+    cluster stage may only remove triangles the per-triangle cull kills)."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.models import textured_scene
+    from renderer_tpu.scene import SceneLimits
+
+    scene = textured_scene(SceneLimits.tiny(), atlas_size=16)
+    cam = Camera.create(position=jnp.array([0.0, 1.2, 4.0]), fov_y=0.9, near=0.1, far=60.0)
+
+    def render(cluster_cull):
+        cfg = PipelineConfig(
+            width=128, height=64, tri_capacity=4096,
+            use_pallas=True, pallas_interpret=True, shading="pbr",
+            cluster_cull=cluster_cull,
+        )
+        r = Renderer(scene, cfg, outputs=("image", "vis"))
+        out = r.render(cam)
+        return np.asarray(out["image"]), np.asarray(out["vis"].tri_id)
+
+    img_off, id_off = render(False)
+    img_on, id_on = render(True)
+    np.testing.assert_array_equal(id_off != -1, id_on != -1)
+    np.testing.assert_allclose(img_off, img_on, atol=2e-6)

@@ -207,11 +207,17 @@ def compose_overlay(image: jnp.ndarray, overlay: Overlay, font: jnp.ndarray) -> 
     del r_idx
 
     def glyph_body(i, img):
-        x = jnp.clip(overlay.glyph_pos[i, 0], 0, w - CELL_W)
-        y = jnp.clip(overlay.glyph_pos[i, 1], 0, h - CELL_H)
+        x0 = overlay.glyph_pos[i, 0]
+        y0g = overlay.glyph_pos[i, 1]
+        # CLIP off-screen glyphs (zero alpha) rather than clamp-stacking
+        # them at the edge — long HUD lines would otherwise smear dozens of
+        # glyphs onto the same border patch
+        on = (x0 >= 0) & (x0 <= w - CELL_W) & (y0g >= 0) & (y0g <= h - CELL_H)
+        x = jnp.clip(x0, 0, w - CELL_W)
+        y = jnp.clip(y0g, 0, h - CELL_H)
         patch = jax.lax.dynamic_slice(img, (y, x, 0), (CELL_H, CELL_W, 3))
         cov = font[overlay.glyph_id[i]]  # (CELL_H, CELL_W)
-        a = cov * overlay.glyph_color[i, 3]
+        a = cov * overlay.glyph_color[i, 3] * on.astype(jnp.float32)
         blended = patch * (1 - a[..., None]) + overlay.glyph_color[i, :3] * a[..., None]
         return jax.lax.dynamic_update_slice(img, blended, (y, x, 0))
 

@@ -178,14 +178,15 @@ def shade_pbr(
     else:
         n = n_geom
 
-    rt_occ = None
+    rt_occ = None  # per-LIGHT planes (brute force)
+    rt_occ_slots = None  # per-SLOT planes (grid path)
     if rt_grid is not None:
         from renderer_tpu.ops.rt_grid import rt_shadow_grid
 
-        light_mats, lod_i, model, radius, caster_cap, interp = rt_grid
-        rt_occ = rt_shadow_grid(
+        light_mats, lod_i, model, radius, caster_cap, n_slots, interp = rt_grid
+        rt_occ_slots = rt_shadow_grid(
             scene, world, n_geom, covered, light_mats, lod_i, model,
-            radius, caster_cap, interpret=interp,
+            radius, caster_cap, n_slots, interpret=interp,
         )
     elif rt is not None:
         from renderer_tpu.ops.rt import rt_shadow_planes
@@ -211,6 +212,11 @@ def shade_pbr(
         radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)
         if rt_occ is not None:
             radiance = radiance * rt_occ[li : li + 1]
+        if rt_occ_slots is not None:
+            slot = lights.shadow_slot[li]
+            use = (slot >= 0) & lights.directional[li]
+            occ_l = rt_occ_slots[jnp.maximum(slot, 0)]
+            radiance = radiance * jnp.where(use, occ_l, 1.0)[None]
         if shadow is not None:
             from renderer_tpu.ops.shadow import shadow_occlusion
 

@@ -277,12 +277,16 @@ def rt_shadow_grid(
     model: jnp.ndarray,    # (N, 4, 4)
     scene_radius,          # () f32 — bias scale
     caster_capacity: int,
+    n_slots: int,
     interpret: bool = False,
     depth_eps: float = 1.5e-3,
 ) -> jnp.ndarray:
-    """(L, H, W) per-light occlusion planes (directional shadow lights only;
-    others return 1.0 everywhere). Per-light caster expansion includes
-    off-camera geometry."""
+    """(n_slots, H, W) per-SLOT occlusion planes (directional shadow lights
+    only; slots without one return 1.0 everywhere). Slot-major so the
+    per-slot caster expansion + traversal scale with the configured shadow
+    capacity, not the light-table size (shading maps lights to slots via
+    lights.shadow_slot). Per-light caster expansion includes off-camera
+    geometry."""
     from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
 
     lights = scene.lights
@@ -294,8 +298,10 @@ def rt_shadow_grid(
     )
 
     planes = []
-    for li in range(lights.alive.shape[0]):
-        want = lights.alive[li] & (lights.shadow_slot[li] >= 0) & lights.directional[li]
+    for slot in range(n_slots):
+        match = (lights.shadow_slot == slot) & lights.alive & lights.directional
+        li = jnp.argmax(match)
+        want = jnp.any(match)
         m = light_mats[li]
         lclip = jnp.einsum("ij,jhw->ihw", m, hcf, precision="highest")
         lw = jnp.where(jnp.abs(lclip[3]) > 1e-9, lclip[3], 1e-9)

@@ -10,8 +10,7 @@ deferred shading.
 Casters are culled and expanded PER LIGHT against the light's own frustum
 (render_shadow_atlas_per_light), so off-camera geometry still casts into
 view — matching the reference, which renders each light's slot from its own
-draw set (shadow_mapping.rs:345-491). The legacy camera-soup path
-(render_shadow_atlas) remains for the SPMD pipeline's reduced mode.
+draw set (shadow_mapping.rs:345-491).
 """
 
 from __future__ import annotations
@@ -20,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from renderer_tpu.mathx.camera import look_at, orthographic
-from renderer_tpu.ops.geometry import TriangleSoup
 from renderer_tpu.ops.raster_jax import rasterize
 from renderer_tpu.scene.types import Lights
 
@@ -63,45 +61,6 @@ def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndar
     mats = jax.vmap(per_light)(lights.position, lights.directional)
     want = lights.alive & (lights.shadow_slot >= 0)
     return jnp.where(want[:, None, None], mats, jnp.eye(4, dtype=jnp.float32))
-
-
-def render_shadow_atlas(
-    soup: TriangleSoup,
-    light_mats: jnp.ndarray,  # (L, 4, 4)
-    lights: Lights,
-    n_slots: int,
-    slot_size: int,
-    viewproj_inv: jnp.ndarray = None,
-) -> jnp.ndarray:
-    """Depth-only raster of the draw stream from each shadow light.
-
-    Returns (n_slots, S, S) f32 depth (1.0 = empty). Shadow rendering is
-    two-sided (casters shadow from both faces; avoids peter-panning from
-    backface-culled casters).
-
-    The soup stores camera-clip positions only; each light's transform is
-    composed as light_mat @ viewproj^-1 so one matmul takes camera clip
-    directly to light clip (no world positions stored)."""
-
-    def per_slot(slot):
-        # find the light occupying this slot (or none)
-        match = (lights.shadow_slot == slot) & lights.alive
-        li = jnp.argmax(match)
-        active = jnp.any(match)
-        m = light_mats[li] @ viewproj_inv
-        clip = jnp.einsum("ij,tkj->tki", m, soup.clip, precision="highest")
-        vis = rasterize(
-            clip,
-            soup.valid & active,
-            slot_size,
-            slot_size,
-            strip_rows=min(32, slot_size),
-            cull_backface=False,
-            count=jnp.where(active, soup.count, 0),
-        )
-        return vis.depth
-
-    return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
 
 
 def render_shadow_atlas_per_light(

@@ -479,6 +479,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
             rt_grid = (
                 mats, lod, model, radius,
                 cfg.shadow_tri_capacity or cfg.tri_capacity,
+                cfg.shadow_slots,
                 cfg.pallas_interpret,
             )
             return {img_res: _shade(

@@ -305,7 +305,12 @@ class SceneStreamer:
         t_cap = lib.indices.shape[0]
         tpad = -(-tcnt // 32) * 32  # keep ranges CLUSTER-aligned
         if self._v_off + v > v_cap or self._t_off + tpad > t_cap:
-            tpad = tcnt  # try unaligned as a last resort at exact capacity
+            # unaligned last-resort fit is only safe when no cluster tables
+            # exist — a misaligned range would make cluster ids point into
+            # ANOTHER mesh's cluster_data (wrong culling beats no mesh, so
+            # fail cleanly instead)
+            if lib.cluster_data is None:
+                tpad = tcnt
         if self._v_off + v > v_cap or self._t_off + tpad > t_cap:
             raise MemoryError(
                 f"mesh library capacity exhausted during streaming "

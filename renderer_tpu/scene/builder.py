@@ -180,8 +180,13 @@ class SceneBuilder:
         key_t: np.ndarray,         # (K, J, 3)
         key_r: np.ndarray,         # (K, J, 4) quat (w,x,y,z)
         key_s: np.ndarray = None,  # (K, J)
+        interpolation: str = "LINEAR",
+        key_t_tangents=None,
+        key_r_tangents=None,
+        key_s_tangents=None,
     ) -> int:
-        """Add a mesh with linear-blend skinning + one animation clip."""
+        """Add a mesh with linear-blend skinning + one animation clip
+        (interpolation/tangents as in add_skin_clip)."""
         lim = self.limits
         if len(self._skins) >= lim.max_skins:
             raise ValueError("skin table full")
@@ -205,7 +210,13 @@ class SceneBuilder:
                 clips=[],
             )
         )
-        self.add_skin_clip(mesh_id, key_times, key_t, key_r, key_s)
+        self.add_skin_clip(
+            mesh_id, key_times, key_t, key_r, key_s,
+            interpolation=interpolation,
+            key_t_tangents=key_t_tangents,
+            key_r_tangents=key_r_tangents,
+            key_s_tangents=key_s_tangents,
+        )
         return mesh_id
 
     def add_skin_clip(

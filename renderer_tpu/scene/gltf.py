@@ -191,12 +191,15 @@ def _node_trs(node):
 def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
     """glTF skins + animations -> per-skin args for SceneBuilder.add_skinned_mesh.
 
-    Joints are reordered topologically (parent before child). Animations are
-    resampled to n_keys uniform keyframes (linear interp; STEP/CUBICSPLINE
-    approximated as linear). Assumes skeleton roots sit under an identity
-    world transform (non-joint transforms above the root are not folded in).
-    Returns {skin_index: {remap, parents, inverse_bind, key_times, key_t,
-    key_r, key_s}}.
+    Joints are reordered topologically (parent before child). Single-mode
+    animations are resampled at the UNION of their channels' key times with
+    the sampler's interpolation preserved — exact reproduction for LINEAR
+    and STEP, and for CUBICSPLINE too (values + one-sided hermite derivative
+    tangents at every knot reproduce the original piecewise cubic).
+    Mixed-mode or knot-heavy animations fall back to n_keys dense uniform
+    LINEAR keys (exact at each key). Assumes skeleton roots sit under an
+    identity world transform. Returns {skin_index: {remap, parents,
+    inverse_bind, clips: [...]}}.
     """
     nodes = doc.get("nodes", [])
     parent_of = {}
@@ -266,14 +269,15 @@ def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
         if not anim_chans:
             anim_chans = [{}]
 
-        def resample(times, vals, mode, t):
+        def resample(times, vals, mode, t, side="right"):
             """Sample a glTF sampler at time t, exactly per its mode
-            (CUBICSPLINE output stride is [in-tangent, value, out-tangent])."""
+            (CUBICSPLINE output stride is [in-tangent, value, out-tangent]).
+            side selects the segment at knot times (one-sided limits)."""
             if mode == "CUBICSPLINE":
                 vals = vals.reshape(len(times), 3, -1)
             if len(times) == 1:
                 return vals[0, 1] if mode == "CUBICSPLINE" else vals[0]
-            i = np.clip(np.searchsorted(times, t, side="right"), 1, len(times) - 1)
+            i = np.clip(np.searchsorted(times, t, side=side), 1, len(times) - 1)
             t0, t1 = times[i - 1], times[i]
             dt = t1 - t0
             f = 0.0 if dt <= 0 else float(np.clip((t - t0) / dt, 0.0, 1.0))
@@ -291,16 +295,69 @@ def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
                 )
             return vals[i - 1] * (1 - f) + vals[i] * f
 
+        def deriv(times, vals, mode, t, side):
+            """d/dt of a CUBICSPLINE sampler at t, one-sided at knots —
+            feeding these back as tangents reproduces the original
+            piecewise cubic EXACTLY after union-time resampling."""
+            if mode != "CUBICSPLINE":
+                return np.zeros_like(resample(times, vals, mode, t))
+            vals3 = vals.reshape(len(times), 3, -1)
+            if len(times) == 1:
+                return np.zeros_like(vals3[0, 1])
+            i = np.clip(np.searchsorted(times, t, side=side), 1, len(times) - 1)
+            t0, t1 = times[i - 1], times[i]
+            dt = t1 - t0
+            if dt <= 0:
+                return np.zeros_like(vals3[0, 1])
+            f = float(np.clip((t - t0) / dt, 0.0, 1.0))
+            v0, b0 = vals3[i - 1, 1], vals3[i - 1, 2]
+            v1, a1 = vals3[i, 1], vals3[i, 0]
+            f2 = f * f
+            return (
+                (6 * f2 - 6 * f) * v0 / dt
+                + (3 * f2 - 4 * f + 1) * b0
+                + (-6 * f2 + 6 * f) * v1 / dt
+                + (3 * f2 - 2 * f) * a1
+            )
+
         clips = []
         for chans in anim_chans:
             duration = 1.0
+            mode_set = set()
+            union = {0.0}
             for d in chans.values():
-                for times, _, _ in d.values():
+                for times, _, mode in d.values():
                     duration = max(duration, float(times[-1]))
-            key_times = np.linspace(0.0, duration, n_keys, dtype=np.float32)
-            key_t = np.zeros((n_keys, j, 3), np.float32)
-            key_r = np.zeros((n_keys, j, 4), np.float32)
-            key_s = np.ones((n_keys, j), np.float32)
+                    mode_set.add(mode)
+                    union.update(float(t) for t in times)
+            union.add(duration)
+            union_times = np.asarray(sorted(u for u in union if u <= duration), np.float32)
+            if len(mode_set) <= 1 and len(union_times) <= n_keys:
+                # single-mode animation: resample at the UNION of channel key
+                # times and keep the mode — STEP/LINEAR reproduce exactly,
+                # CUBICSPLINE exactly too via one-sided derivative tangents
+                key_times = union_times
+                mode = mode_set.pop() if mode_set else "LINEAR"
+            else:
+                # mixed modes or too many knots: dense uniform keys, exact at
+                # each key time, LINEAR playback between them (approximate)
+                key_times = np.linspace(0.0, duration, n_keys, dtype=np.float32)
+                mode = "LINEAR"
+            nk = len(key_times)
+            key_t = np.zeros((nk, j, 3), np.float32)
+            key_r = np.zeros((nk, j, 4), np.float32)
+            key_s = np.ones((nk, j), np.float32)
+            cubic = mode == "CUBICSPLINE"
+            t_in = np.zeros((nk, j, 3), np.float32)
+            t_out = np.zeros((nk, j, 3), np.float32)
+            r_in = np.zeros((nk, j, 4), np.float32)
+            r_out = np.zeros((nk, j, 4), np.float32)
+            s_in = np.zeros((nk, j), np.float32)
+            s_out = np.zeros((nk, j), np.float32)
+
+            def quat_wxyz(q):
+                return [q[3], q[0], q[1], q[2]]
+
             for nj in order:
                 k = node_to_topo[nj]
                 base_t, base_r, base_s = _node_trs(nodes[nj])
@@ -308,19 +365,39 @@ def _parse_skins_and_animations(doc, buffers, n_keys: int = 32) -> dict:
                 for ki, t in enumerate(key_times):
                     if "translation" in d:
                         key_t[ki, k] = resample(*d["translation"], t)
+                        if cubic:
+                            t_in[ki, k] = deriv(*d["translation"], t, "left")
+                            t_out[ki, k] = deriv(*d["translation"], t, "right")
                     else:
                         key_t[ki, k] = base_t
                     if "rotation" in d:
                         q = resample(*d["rotation"], t)  # xyzw
-                        q = q / max(np.linalg.norm(q), 1e-8)
-                        key_r[ki, k] = [q[3], q[0], q[1], q[2]]
+                        if cubic:
+                            # raw components (spec: cubic operates unnormalized)
+                            key_r[ki, k] = quat_wxyz(q)
+                            r_in[ki, k] = quat_wxyz(deriv(*d["rotation"], t, "left"))
+                            r_out[ki, k] = quat_wxyz(deriv(*d["rotation"], t, "right"))
+                        else:
+                            q = q / max(np.linalg.norm(q), 1e-8)
+                            key_r[ki, k] = quat_wxyz(q)
                     else:
                         key_r[ki, k] = base_r
                     if "scale" in d:
                         key_s[ki, k] = float(np.mean(resample(*d["scale"], t)))
+                        if cubic:
+                            s_in[ki, k] = float(np.mean(deriv(*d["scale"], t, "left")))
+                            s_out[ki, k] = float(np.mean(deriv(*d["scale"], t, "right")))
                     else:
                         key_s[ki, k] = base_s
-            clips.append(dict(key_times=key_times, key_t=key_t, key_r=key_r, key_s=key_s))
+            clips.append(
+                dict(
+                    key_times=key_times, key_t=key_t, key_r=key_r, key_s=key_s,
+                    interpolation=mode,
+                    key_t_tangents=(t_in, t_out) if cubic else None,
+                    key_r_tangents=(r_in, r_out) if cubic else None,
+                    key_s_tangents=(s_in, s_out) if cubic else None,
+                )
+            )
 
         out[si] = dict(
             remap=remap,
@@ -461,11 +538,19 @@ def load_gltf(
                     clips[0]["key_t"],
                     clips[0]["key_r"],
                     clips[0]["key_s"],
+                    interpolation=clips[0]["interpolation"],
+                    key_t_tangents=clips[0]["key_t_tangents"],
+                    key_r_tangents=clips[0]["key_r_tangents"],
+                    key_s_tangents=clips[0]["key_s_tangents"],
                 )
                 for clip in clips[1 : b.limits.max_clips]:
                     b.add_skin_clip(
                         mesh_id, clip["key_times"], clip["key_t"],
                         clip["key_r"], clip["key_s"],
+                        interpolation=clip["interpolation"],
+                        key_t_tangents=clip["key_t_tangents"],
+                        key_r_tangents=clip["key_r_tangents"],
+                        key_s_tangents=clip["key_s_tangents"],
                     )
             else:
                 mesh_id = b.add_mesh(hm)

@@ -22,10 +22,14 @@ import numpy as np
 class SceneLimits(NamedTuple):
     """Design envelope, mirroring the reference's constants (BASELINE.md)."""
 
-    max_vertices: int = 1 << 19      # consolidated vertex capacity (ref: 3M)
-    # library triangle capacity; instancing multiplies at draw time. Kept
-    # within TRI_REC_MAX_BYTES so the wide per-triangle record table (the
-    # fast expansion path) exists at default limits (128 MB).
+    max_vertices: int = 1 << 20      # consolidated vertex capacity (ref: 3M)
+    # library triangle capacity (instancing multiplies at draw time; the
+    # reference consolidates ~1M tris of UNIQUE meshes, renderer.rs:174-181).
+    # The default stays within TRI_REC_MAX_BYTES so the wide per-triangle
+    # record table (the fast expansion path) exists: its padded rows cost
+    # 512 B per SLOT (128 MB at this default), so pass tighter limits for
+    # small scenes and bigger ones for huge imports (tri_rec auto-disables
+    # above the budget and expansion falls back to per-corner gathers).
     max_triangles: int = 1 << 18
     max_meshes: int = 256            # distinct meshes in the library
     max_instances: int = 16384       # ref: 4096 model matrices

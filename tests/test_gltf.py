@@ -334,12 +334,11 @@ def test_gltf_cubicspline_and_multi_animation_import(tmp_path):
     assert int(scene.skins.clip_count[0]) == 2
 
     from renderer_tpu.ops.skin import sample_clips, set_active_clip
+    from renderer_tpu.scene.types import INTERP_CUBICSPLINE
 
-    # the import resamples to uniform keys with EXACT cubic evaluation at
-    # each key time: sampling at a resample key must match numpy hermite
-    n_keys = int(np.asarray(scene.skins.key_count[0, 0]))
-    key_times = np.linspace(0.0, 1.0, n_keys)
-    t = float(key_times[n_keys // 2])
+    # union-time import preserves the CUBICSPLINE mode + tangents, so device
+    # playback reproduces the original hermite EXACTLY at ANY time
+    assert int(scene.skins.interp[0, 0]) == INTERP_CUBICSPLINE
 
     def hermite(t):
         dt = 1.0
@@ -350,10 +349,67 @@ def test_gltf_cubicspline_and_multi_animation_import(tmp_path):
         return ((2 * f3 - 3 * f2 + 1) * v0 + dt * (f3 - 2 * f2 + f) * b0
                 + (-2 * f3 + 3 * f2) * v1 + dt * (f3 - f2) * a1)
 
-    pal = np.asarray(sample_clips(scene.skins, t))[0, 0]
-    np.testing.assert_allclose(pal[:3, 3], hermite(t), rtol=1e-4, atol=1e-5)
+    for t in (0.15, 0.5, 0.83):
+        pal = np.asarray(sample_clips(scene.skins, t))[0, 0]
+        np.testing.assert_allclose(pal[:3, 3], hermite(t), rtol=1e-4, atol=1e-5)
 
     # clip 1 (LINEAR +y) selected at runtime
     s2 = set_active_clip(scene, 0, 1)
     pal2 = np.asarray(sample_clips(s2.skins, 0.5))[0, 0]
     np.testing.assert_allclose(pal2[:3, 3], [0, 1, 0], atol=1e-5)
+
+
+def test_gltf_step_interpolation_exact(tmp_path):
+    """A STEP sampler imports with its mode preserved: the snap happens at
+    the ORIGINAL key boundary, not smeared by resampling."""
+    import json, base64
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint32)
+    joints = np.array([[0, 0, 0, 0]] * 3, np.uint16)
+    weights = np.array([[1, 0, 0, 0]] * 3, np.float32)
+    times = np.array([0.0, 0.7, 1.0], np.float32)
+    vals = np.array([[0, 0, 0], [3, 0, 0], [9, 0, 0]], np.float32)
+    arrays = (pos, idx, joints, weights, times, vals)
+    blob = b"".join(np.ascontiguousarray(a).tobytes() for a in arrays)
+    offs = np.cumsum([0] + [a.nbytes for a in arrays[:-1]])
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(blob), "uri": "data:application/octet-stream;base64," + base64.b64encode(blob).decode()}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": int(o), "byteLength": int(a.nbytes)}
+            for o, a in zip(offs, arrays)
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3", "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5125, "count": 3, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5123, "count": 3, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5126, "count": 3, "type": "VEC4"},
+            {"bufferView": 4, "componentType": 5126, "count": 3, "type": "SCALAR"},
+            {"bufferView": 5, "componentType": 5126, "count": 3, "type": "VEC3"},
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0, "JOINTS_0": 2, "WEIGHTS_0": 3}, "indices": 1}]}],
+        "skins": [{"joints": [1]}],
+        "nodes": [{"mesh": 0, "skin": 0}, {}],
+        "animations": [
+            {
+                "channels": [{"sampler": 0, "target": {"node": 1, "path": "translation"}}],
+                "samplers": [{"input": 4, "output": 5, "interpolation": "STEP"}],
+            }
+        ],
+        "scenes": [{"nodes": [0, 1]}],
+        "scene": 0,
+    }
+    path = tmp_path / "step.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+    b.add_light(position=(1, 2, 3), intensity=5.0)
+    scene = b.build()
+
+    from renderer_tpu.ops.skin import sample_clips
+    from renderer_tpu.scene.types import INTERP_STEP
+
+    assert int(scene.skins.interp[0, 0]) == INTERP_STEP
+    for t, expect in ((0.3, [0, 0, 0]), (0.69, [0, 0, 0]), (0.71, [3, 0, 0]), (0.9, [3, 0, 0])):
+        pal = np.asarray(sample_clips(scene.skins, t))[0, 0]
+        np.testing.assert_allclose(pal[:3, 3], expect, atol=1e-6)

@@ -87,28 +87,23 @@ def test_offset_light_shadow_visible():
 
 
 def test_shadow_atlas_contents():
-    """The atlas slot actually contains the casters' depth."""
+    """The atlas slot actually contains the casters' depth (per-light path)."""
     from renderer_tpu.ops import geometry
-    from renderer_tpu.ops.cull import compact_soup
-    from renderer_tpu.ops.shadow import directional_light_matrices, render_shadow_atlas
+    from renderer_tpu.ops.shadow import (
+        directional_light_matrices,
+        render_shadow_atlas_per_light,
+    )
 
     scene = shadow_scene()
     cam = top_down_camera()
     model = geometry.instance_matrices(scene)
-    vp, clip_mats = geometry.camera_clip_matrices(cam, model)
-    visible = geometry.coarse_cull(scene, model, vp)
     lod = geometry.select_lod(scene, cam, model)
-    soup = compact_soup(
-        geometry.cull_triangles(
-            geometry.expand_draw_stream(scene, visible, lod, clip_mats, model, 512)
-        )
-    )
     mats = directional_light_matrices(
         scene.lights, jnp.array([-5.0, -0.5, -5.0]), jnp.array([5.0, 1.3, 5.0])
     )
-    atlas = render_shadow_atlas(
-        soup, mats, scene.lights, n_slots=2, slot_size=64,
-        viewproj_inv=jnp.linalg.inv(vp),
+    atlas = render_shadow_atlas_per_light(
+        scene, mats, scene.lights, model, lod, n_slots=2, slot_size=64,
+        caster_capacity=512,
     )
     a0 = np.asarray(atlas[0])
     assert (a0 < 1.0).mean() > 0.3, "slot 0 should contain scene depth"

@@ -108,3 +108,35 @@ def test_render_frame_spmd_driver():
     assert img.shape == (HEIGHT, WIDTH, 3)
     assert np.isfinite(img).all()
     assert (np.asarray(tri_id) != -1).any()
+
+
+def test_spmd_rt_and_hud_switches():
+    """rt (grid-accelerated shadows) and hud (overlay) also run under SPMD
+    through the same plan, matching single-device."""
+    from renderer_tpu.ops.overlay import hud_overlay
+
+    scene = small_scene()
+    mesh = make_mesh()
+
+    out1 = _render(scene, False, None, **{"rt": True})
+    out8 = _render(scene, True, mesh, **{"rt": True})
+    np.testing.assert_allclose(
+        np.asarray(out1["image"]), np.asarray(out8["image"]), atol=2e-6
+    )
+
+    # hud: overlay composites after the row gather; smoke + parity
+    ov = hud_overlay("SPMD OK", WIDTH)
+    cfg = PipelineConfig(
+        width=WIDTH, height=HEIGHT, tri_capacity=8192,
+        use_pallas=True, pallas_interpret=True, shading="pbr",
+        spmd_devices=8,
+    )
+    r = Renderer(scene, cfg, outputs=("image",), spmd_mesh=mesh)
+    r.set_config(hud=True)
+    r.apply_config_now()
+    img = np.asarray(r.render(camera(), overlay=ov)["image"])
+    assert img.shape == (HEIGHT, WIDTH, 3)
+    assert np.isfinite(img).all()
+    # the panel darkened the top-left corner
+    base = _render(scene, True, mesh)
+    assert img[6, 6].mean() < np.asarray(base["image"])[6, 6].mean() + 1e-6

@@ -17,8 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from renderer_tpu.ops.geometry import TriangleSoup
-from renderer_tpu.ops.raster_jax import VisibilityBuffer, interpolate
+from renderer_tpu.ops.raster_jax import VisibilityBuffer
 from renderer_tpu.ops.raster_spec import NO_TRIANGLE
 from renderer_tpu.ops.texture import sample_atlas_cf, srgb_to_linear
 from renderer_tpu.scene.types import Scene
@@ -183,10 +182,10 @@ def shade_pbr(
     if rt_grid is not None:
         from renderer_tpu.ops.rt_grid import rt_shadow_grid
 
-        light_mats, lod_i, model, radius, caster_cap, n_slots, interp = rt_grid
+        light_mats, lod_i, model, radius, caster_cap, n_slots, interp_flag = rt_grid
         rt_occ_slots = rt_shadow_grid(
             scene, world, n_geom, covered, light_mats, lod_i, model,
-            radius, caster_cap, n_slots, interpret=interp,
+            radius, caster_cap, n_slots, interpret=interp_flag,
         )
     elif rt is not None:
         from renderer_tpu.ops.rt import rt_shadow_planes

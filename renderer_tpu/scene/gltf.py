@@ -416,8 +416,6 @@ def load_gltf(
 ) -> SceneBuilder:
     """Load a .gltf/.glb file into a SceneBuilder (meshes, materials,
     instances from the default scene's node hierarchy)."""
-    from renderer_tpu.scene.textures import TextureAtlasBuilder  # lazy
-
     doc, buffers = _read_container(path)
     b = builder or SceneBuilder()
 

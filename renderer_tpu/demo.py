@@ -105,6 +105,13 @@ def main(argv=None):
         "--watch", action="store_true",
         help="hot-reload kernel modules between frames (ref: shader_reload)",
     )
+    ap.add_argument(
+        "--spmd", type=int, default=0, metavar="N",
+        help="render over an N-device mesh (same frame graph under "
+        "shard_map; off-TPU use JAX_PLATFORMS=cpu XLA_FLAGS="
+        "--xla_force_host_platform_device_count=N; needs --pallas and "
+        "size %% (N*32) == 0)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -117,14 +124,29 @@ def main(argv=None):
     from renderer_tpu.utils.image import srgb_encode, write_png
 
     scene = build_scene(args.scene)
+    spmd_mesh = None
+    if args.spmd > 1:
+        from renderer_tpu.parallel import make_mesh
+
+        devices = jax.devices()[: args.spmd]
+        if len(devices) < args.spmd:
+            raise SystemExit(
+                f"--spmd {args.spmd}: only {len(devices)} devices visible "
+                "(off-TPU: JAX_PLATFORMS=cpu XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={args.spmd})"
+            )
+        spmd_mesh = make_mesh(devices)
     renderer = Renderer(
         scene,
         PipelineConfig(
             width=args.size, height=args.size, tri_capacity=16384,
             use_pallas=args.pallas, skinning=(args.scene == "skinned"),
             ssaa=args.ssaa,
+            spmd_devices=max(args.spmd, 1),
+            pallas_interpret=(args.pallas and jax.devices()[0].platform != "tpu"),
         ),
         outputs=("image", "vis", "soup") if args.hud else ("image", "vis"),
+        spmd_mesh=spmd_mesh,
     )
     renderer.set_config(
         debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling,

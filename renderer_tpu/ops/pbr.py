@@ -227,6 +227,8 @@ def shade_pbr(
                 world, ndl_geom, light_mats[li],
                 shadow_depth[jnp.maximum(slot, 0)],
                 normal=n_geom,
+                is_point=~lights.directional[li],
+                light_pos=lights.position[li],
             )
             radiance = radiance * jnp.where(casts, occl, 1.0)
         contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance

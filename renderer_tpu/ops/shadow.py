@@ -23,14 +23,76 @@ from renderer_tpu.ops.raster_jax import rasterize
 from renderer_tpu.scene.types import Lights
 
 
+# cube-face packing inside one (S, S) atlas slot: 2 cols x 3 rows of
+# (S//2, S//4) faces (bottom S//4 band unused). Faces are fov-90 perspective
+# cameras in axis order +x,-x,+y,-y,+z,-z; selection = major axis of the
+# light->receiver direction.
+CUBE_FACE_DIRS = (
+    (1.0, 0.0, 0.0), (-1.0, 0.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, -1.0, 0.0),
+    (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+)
+CUBE_FACE_UPS = (
+    (0.0, 1.0, 0.0), (0.0, 1.0, 0.0),
+    (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+    (0.0, 1.0, 0.0), (0.0, 1.0, 0.0),
+)
+
+
+def light_matrices_cube(lights: Lights, scene_min, scene_max) -> jnp.ndarray:
+    """(L, 6, 4, 4) per-light face view-projs.
+
+    Directional lights: the fitted orthographic matrix replicated across all
+    6 faces (lookups use face 0). Point lights: six fov-90 perspective
+    cameras at the light position — the cube-map equivalent, packed into one
+    atlas slot (the reference renders single-face per-light MVPs only;
+    this exceeds it)."""
+    from renderer_tpu.mathx.camera import perspective
+
+    center = (scene_min + scene_max) * 0.5
+    radius = jnp.linalg.norm(scene_max - scene_min) * 0.5 + 1e-3
+
+    def per_light(position, directional):
+        d_dir = position / jnp.maximum(jnp.linalg.norm(position), 1e-8)
+        eye_dir = center - d_dir * (radius * 2.0)
+        dist = jnp.maximum(jnp.linalg.norm(center - position), radius * 0.05 + 1e-3)
+        up_d = jnp.where(
+            jnp.abs(d_dir[1]) > 0.95,
+            jnp.array([1.0, 0.0, 0.0]),
+            jnp.array([0.0, 1.0, 0.0]),
+        )
+        view_dir = look_at(eye_dir, eye_dir + d_dir, up_d)
+        proj_dir = orthographic(radius, radius, radius * 0.5, radius * 3.5)
+        m_dir = proj_dir @ view_dir
+
+        near = jnp.maximum(radius * 1e-2, 1e-4)
+        far = dist + radius
+        proj_pt = perspective(jnp.pi / 2, 1.0, near, far)
+        faces = []
+        for f in range(6):
+            d = jnp.array(CUBE_FACE_DIRS[f])
+            up = jnp.array(CUBE_FACE_UPS[f])
+            view = look_at(position, position + d, up)
+            faces.append(proj_pt @ view)
+        m_pt = jnp.stack(faces)  # (6, 4, 4)
+        return jnp.where(directional, jnp.broadcast_to(m_dir, (6, 4, 4)), m_pt)
+
+    mats = jax.vmap(per_light)(lights.position, lights.directional)
+    want = lights.alive & (lights.shadow_slot >= 0)
+    return jnp.where(
+        want[:, None, None, None], mats, jnp.eye(4, dtype=jnp.float32)
+    )
+
+
 def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndarray:
     """(L, 4, 4) light view-proj per light (identity for non-shadow lights).
 
     Directional lights: orthographic box fitted around the scene AABB,
     looking along the light direction from outside the scene.
     Point lights: a perspective camera at the light position aimed at the
-    scene center, fov fitted to the scene's bounding sphere (single-face
-    shadow; a full cube-map equivalent = 6 slots, planned).
+    scene center, fov fitted to the scene's bounding sphere (the SINGLE-FACE
+    variant — used by the directional-only rt path; the shadow-map path
+    uses light_matrices_cube).
     """
     from renderer_tpu.mathx.camera import perspective
 
@@ -65,7 +127,7 @@ def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndar
 
 def render_shadow_atlas_per_light(
     scene,
-    light_mats: jnp.ndarray,  # (L, 4, 4)
+    light_mats: jnp.ndarray,  # (L, 6, 4, 4) from light_matrices_cube
     lights: Lights,
     model: jnp.ndarray,       # (N, 4, 4) instance model matrices
     lod: jnp.ndarray,         # (N,) i32 per-instance LOD (camera pick)
@@ -81,41 +143,61 @@ def render_shadow_atlas_per_light(
     and expands its own clip-only draw stream, so casters outside the main
     camera still shadow the view (ref: shadow_mapping.rs:345-491 renders
     per-light draw sets; LOD here reuses the camera's per-instance pick
-    where the reference picks by light distance). Shadow rasterization is
-    two-sided. use_pallas runs the tile kernel per slot (measured at the
-    1080p/10k bench, 4x512^2 slots, 64k caster capacity: 2530 -> ~ms-scale
-    vs the XLA scan rasterizer)."""
+    where the reference picks by light distance). Directional slots render
+    one full-slot pass; POINT lights render all six cube faces into the
+    slot's 2x3 face grid (each face per-face culled+expanded). Shadow
+    rasterization is two-sided. use_pallas runs the tile kernel per pass
+    (measured at the 1080p/10k bench, 4x512^2 slots, 64k caster capacity:
+    2530 -> ~ms-scale vs the XLA scan rasterizer)."""
     from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
 
-    def per_slot(slot):
-        match = (lights.shadow_slot == slot) & lights.alive
-        li = jnp.argmax(match)
-        active = jnp.any(match)
-        m = light_mats[li]
+    fw, fh = slot_size // 2, slot_size // 4  # cube face viewport
+
+    def _raster(clip, valid, count, w, h):
+        can_pallas = use_pallas and w % 128 == 0 and h % 32 == 0
+        if can_pallas:
+            from renderer_tpu.ops.raster_pallas import rasterize_pallas
+
+            return rasterize_pallas(
+                clip, valid, w, h,
+                cull_backface=False, with_bary=False,
+                interpret=pallas_interpret,
+            ).depth
+        return rasterize(
+            clip, valid, w, h,
+            strip_rows=min(32, h), cull_backface=False, count=count,
+        ).depth
+
+    def _render_view(m, active, w, h):
         clip_mats = jnp.einsum("ij,njk->nik", m, model, precision="highest")
         visible = coarse_cull(scene, model, m) & active
         clip, valid, count = expand_clip_only(
             scene, visible, lod, clip_mats, caster_capacity
         )
-        if use_pallas:
-            from renderer_tpu.ops.raster_pallas import rasterize_pallas
+        return _raster(clip, valid, count, w, h)
 
-            vis = rasterize_pallas(
-                clip, valid, slot_size, slot_size,
-                cull_backface=False, with_bary=False,
-                interpret=pallas_interpret,
-            )
-        else:
-            vis = rasterize(
-                clip,
-                valid,
-                slot_size,
-                slot_size,
-                strip_rows=min(32, slot_size),
-                cull_backface=False,
-                count=count,
-            )
-        return vis.depth
+    def per_slot(slot):
+        match = (lights.shadow_slot == slot) & lights.alive
+        li = jnp.argmax(match)
+        active = jnp.any(match)
+        is_point = active & ~lights.directional[li]
+
+        def directional(_):
+            return _render_view(light_mats[li, 0], active, slot_size, slot_size)
+
+        def point(_):
+            rows = []
+            for r in range(3):
+                pair = [
+                    _render_view(light_mats[li, 2 * r + c], active, fw, fh)
+                    for c in range(2)
+                ]
+                rows.append(jnp.concatenate(pair, axis=1))  # (fh, S)
+            grid = jnp.concatenate(rows, axis=0)  # (3*fh, S)
+            pad = jnp.ones((slot_size - 3 * fh, slot_size), jnp.float32)
+            return jnp.concatenate([grid, pad], axis=0)
+
+        return jax.lax.cond(is_point, point, directional, operand=None)
 
     return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
 
@@ -123,28 +205,70 @@ def render_shadow_atlas_per_light(
 def shadow_occlusion(
     world: jnp.ndarray,      # (3, H, W) channel-first
     ndl: jnp.ndarray,        # (1, H, W) clamped n.l for slope-scaled bias
-    light_mat: jnp.ndarray,  # (4, 4)
+    light_mat: jnp.ndarray,  # (6, 4, 4) face matrices, or (4, 4) directional
     slot_depth: jnp.ndarray,  # (S, S)
     normal: jnp.ndarray = None,  # (3, H, W) geometric normal (normal-offset)
+    is_point=False,          # traced bool: cube-face lookup
+    light_pos: jnp.ndarray = None,  # (3,) for the point path
     bias: float = 1e-3,
     slope_bias: float = 3e-3,
     normal_offset_texels: float = 1.5,
 ) -> jnp.ndarray:
     """(1, H, W) shadow factor in [0,1] with 2x2 PCF.
 
+    Directional lights sample the full slot through face matrix 0. Point
+    lights pick the cube face per pixel (major axis of light->receiver) and
+    sample inside that face's sub-rect of the slot's 2x3 grid; PCF taps are
+    clamped to the face so filtering never bleeds across faces.
+
     Acne control: receiver positions are offset along the geometric normal by
     ~1.5 shadow texels ("normal-offset shadows") plus a small slope-scaled
     depth bias — the modern replacement for the reference's purely
     slope-scaled sampler offsets (gltf_mesh.vert:48-58)."""
     s = slot_depth.shape[0]
+    fw, fh = s // 2, s // 4
+    if light_mat.ndim == 2:
+        light_mat = jnp.broadcast_to(light_mat, (6, 4, 4))
+    is_point = jnp.asarray(is_point)
+    if light_pos is None:
+        light_pos = jnp.zeros((3,), jnp.float32)
+
     if normal is not None:
-        # world size of one shadow texel: the light view rows are orthonormal
-        # scaled by the ortho projection, so ||row0[:3]|| = 1/half_w
-        row_norm = jnp.linalg.norm(light_mat[0, :3]) + 1e-12
-        texel_world = 2.0 / (row_norm * s)
+        # directional: one shadow texel's world size from the ortho scale
+        # (||row0[:3]|| = 1/half_w); point: fov-90 face spans 2*dist over fh
+        row_norm = jnp.linalg.norm(light_mat[0, 0, :3]) + 1e-12
+        texel_dir = 2.0 / (row_norm * s)
+        dvec = world - light_pos[:, None, None]
+        dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0, keepdims=True))
+        texel_pt = 2.0 * dist / fh
+        texel_world = jnp.where(is_point, texel_pt, texel_dir)
         world = world + normal * (texel_world * normal_offset_texels)
+
+    # cube face per pixel (point path); directional forces face 0
+    d_l = world - light_pos[:, None, None]
+    ax, ay, az = jnp.abs(d_l[0]), jnp.abs(d_l[1]), jnp.abs(d_l[2])
+    face = jnp.where(
+        (ax >= ay) & (ax >= az),
+        jnp.where(d_l[0] >= 0, 0, 1),
+        jnp.where(
+            ay >= az,
+            jnp.where(d_l[1] >= 0, 2, 3),
+            jnp.where(d_l[2] >= 0, 4, 5),
+        ),
+    )
+    face = jnp.where(is_point, face, 0)
+
+    # blend the selected face's matrix per pixel, then one projection
     hcf = jnp.concatenate([world, jnp.ones((1,) + world.shape[1:], jnp.float32)], axis=0)
-    clip = jnp.einsum("ij,jhw->ihw", light_mat, hcf, precision="highest")
+    clip = []
+    for i in range(4):
+        plane = 0.0
+        for jj in range(4):
+            coeff = 0.0
+            for f in range(6):
+                coeff = coeff + jnp.where(face == f, light_mat[f, i, jj], 0.0)
+            plane = plane + coeff * hcf[jj]
+        clip.append(plane)
     w = jnp.where(jnp.abs(clip[3]) > 1e-9, clip[3], 1e-9)
     u = (clip[0] / w + 1.0) * 0.5
     v = (1.0 - clip[1] / w) * 0.5
@@ -154,16 +278,29 @@ def shadow_occlusion(
     slope = jnp.sqrt(jnp.maximum(1.0 - ndl[0] ** 2, 0.0)) / jnp.maximum(ndl[0], 1e-2)
     ref_d = d - (bias + slope_bias * jnp.minimum(slope, 4.0))
 
-    tx = u * s - 0.5
-    ty = v * s - 0.5
+    # texel coords: full slot (directional) or the face's sub-rect (point)
+    col = face % 2
+    row = face // 2
+    tx_dir = u * s - 0.5
+    ty_dir = v * s - 0.5
+    tx_pt = col * fw + u * fw - 0.5
+    ty_pt = row * fh + v * fh - 0.5
+    tx = jnp.where(is_point, tx_pt, tx_dir)
+    ty = jnp.where(is_point, ty_pt, ty_dir)
+    # PCF clamp bounds: the slot, or the face rect (no cross-face bleed)
+    x_lo = jnp.where(is_point, col * fw, 0)
+    x_hi = jnp.where(is_point, col * fw + fw - 1, s - 1)
+    y_lo = jnp.where(is_point, row * fh, 0)
+    y_hi = jnp.where(is_point, row * fh + fh - 1, s - 1)
+
     x0 = jnp.floor(tx).astype(jnp.int32)
     y0 = jnp.floor(ty).astype(jnp.int32)
     fx = tx - x0
     fy = ty - y0
 
     def tap(xo, yo):
-        xi = jnp.clip(x0 + xo, 0, s - 1)
-        yi = jnp.clip(y0 + yo, 0, s - 1)
+        xi = jnp.clip(x0 + xo, x_lo, x_hi)
+        yi = jnp.clip(y0 + yo, y_lo, y_hi)
         sample = slot_depth[yi, xi]
         return (ref_d <= sample).astype(jnp.float32)
 

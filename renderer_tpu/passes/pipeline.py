@@ -395,13 +395,13 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     def shadow_pass(scene_view, prepared):
         scene = scene_view
         from renderer_tpu.ops.shadow import (
-            directional_light_matrices,
+            light_matrices_cube,
             render_shadow_atlas_per_light,
         )
 
         model, lod = prepared[0], prepared[4]
         scene_min, scene_max = prepared[5], prepared[6]
-        mats = directional_light_matrices(scene.lights, scene_min, scene_max)
+        mats = light_matrices_cube(scene.lights, scene_min, scene_max)
         atlas = render_shadow_atlas_per_light(
             scene, mats, scene.lights, model, lod,
             cfg.shadow_slots, cfg.shadow_size,

@@ -90,7 +90,7 @@ def test_shadow_atlas_contents():
     """The atlas slot actually contains the casters' depth (per-light path)."""
     from renderer_tpu.ops import geometry
     from renderer_tpu.ops.shadow import (
-        directional_light_matrices,
+        light_matrices_cube,
         render_shadow_atlas_per_light,
     )
 
@@ -98,7 +98,7 @@ def test_shadow_atlas_contents():
     cam = top_down_camera()
     model = geometry.instance_matrices(scene)
     lod = geometry.select_lod(scene, cam, model)
-    mats = directional_light_matrices(
+    mats = light_matrices_cube(
         scene.lights, jnp.array([-5.0, -0.5, -5.0]), jnp.array([5.0, 1.3, 5.0])
     )
     atlas = render_shadow_atlas_per_light(
@@ -284,3 +284,52 @@ def test_rt_grid_off_camera_caster():
     shadowed = run(True)
     diff = (lit - shadowed).mean(axis=-1)
     assert diff.max() > 0.05, diff.max()
+
+
+def test_point_light_cube_shadows_all_directions():
+    """A point light surrounded by four boxes must cast four radial shadows
+    simultaneously — needs the cube faces (the old single-face camera aimed
+    at the scene center could capture only one direction)."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=20.0))
+    box = b.add_mesh(primitives.box())
+    floor = b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0)
+    red = b.add_material(base_color=(0.8, 0.2, 0.2, 1), roughness=0.8)
+    b.add_instance(plane, floor)
+    for dx, dz in ((2.5, 0), (-2.5, 0), (0, 2.5), (0, -2.5)):
+        b.add_instance(box, red, translation=(dx, 1.0, dz), scale=0.7)
+    # light low above the floor center: box shadows project radially outward
+    b.add_light(position=(0.0, 2.0, 0.0), intensity=60.0, shadow_slot=0)
+    scene = b.build()
+
+    cam = Camera.create(
+        position=jnp.array([0.0, 12.0, 0.01]),
+        rotation=mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -np.pi / 2),
+        near=0.1, far=60.0,
+    )
+    cfg = PipelineConfig(width=96, height=96, tri_capacity=1024, shading="pbr")
+
+    def run(shadows):
+        r = Renderer(scene, cfg)
+        r.set_config(shadows=shadows)
+        r.apply_config_now()
+        return np.asarray(r.render(cam)["image"])
+
+    lit = run(False)
+    shadowed = run(True)
+    diff = (lit - shadowed).mean(axis=-1)
+    # the overhead view maps world +x to +col, +z to +row around the center;
+    # beyond each box (radially outward) the floor must darken
+    cx = cy = 48
+    # world->pixel: view half-extent ~= 12*tan(fov/2) ~ 7.3; 3.6m ~ 24 px
+    off = 24
+    regions = {
+        "+x": diff[cy - 4 : cy + 4, cx + off - 6 : cx + off + 6],
+        "-x": diff[cy - 4 : cy + 4, cx - off - 6 : cx - off + 6],
+        "+z": diff[cy + off - 6 : cy + off + 6, cx - 4 : cx + 4],
+        "-z": diff[cy - off - 6 : cy - off + 6, cx - 4 : cx + 4],
+    }
+    for name, reg in regions.items():
+        assert reg.max() > 0.04, f"no shadow beyond the {name} box: {reg.max()}"
+    # directly under the light (between the boxes) the floor stays lit
+    assert abs(diff[cy - 3 : cy + 3, cx - 3 : cx + 3]).max() < 0.02

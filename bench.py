@@ -61,17 +61,32 @@ def main():
     renderer = Renderer(scene, cfg, outputs=("image",))
 
     # visible-triangle count for Mtris/s: averaged over the timed orbit's
-    # camera range (a single-angle probe over/understates by a few %)
+    # camera range (a single-angle probe over/understates by a few %).
+    # The same soups feed the raster bin-overflow check: an overflowed tile
+    # silently degrades to walk-all-blocks (raster_pallas.py), so the bench
+    # must warn — a clean FPS number with overflowing bins is misleading.
     probe = Renderer(scene, cfg, outputs=("soup",))
     probe_angles = [0.3 + 0.01 * k for k in range(0, FRAMES, max(1, FRAMES // 5))]
-    tri_count = float(
-        np.mean(
-            [
-                int(np.asarray(probe.render(make_camera(a))["soup"].count))
-                for a in probe_angles
-            ]
+    counts = []
+    overflow = 0
+    for a in probe_angles:
+        soup = probe.render(make_camera(a))["soup"]
+        counts.append(int(np.asarray(soup.count)))
+        if cfg.use_pallas:
+            from renderer_tpu.ops.raster_pallas import bin_overflow_tiles
+
+            overflow += int(
+                bin_overflow_tiles(soup.clip, soup.valid, WIDTH, HEIGHT)
+            )
+    tri_count = float(np.mean(counts))
+    if overflow:
+        import sys
+
+        print(
+            f"WARNING: {overflow} raster tile bin-lists overflowed across "
+            f"{len(probe_angles)} probe frames (walk-all fallback active)",
+            file=sys.stderr,
         )
-    )
     del probe
 
     # warmup/compile

@@ -94,6 +94,11 @@ def main(argv=None):
     ap.add_argument("--shadows", action="store_true", help="shadow-mapped directional light")
     ap.add_argument("--occlusion", action="store_true", help="two-pass occlusion culling")
     ap.add_argument("--rt", action="store_true", help="ray-traced shadows (small scenes)")
+    ap.add_argument(
+        "--reference-image", action="store_true",
+        help="composite a low-res XLA-reference diff heatmap over the frame "
+        "(ref: the reference_rt A/B blit)",
+    )
     ap.add_argument("--ssaa", type=int, default=1, help="supersampling factor (MSAA parity)")
     ap.add_argument("--hud", action="store_true", help="print the stats HUD")
     ap.add_argument(
@@ -151,6 +156,7 @@ def main(argv=None):
     renderer.set_config(
         debug_aabbs=args.debug_aabbs, freeze_culling=args.freeze_culling,
         shadows=args.shadows, occlusion_culling=args.occlusion, rt=args.rt,
+        reference_image=args.reference_image,
     )
     renderer.apply_config_now()  # apply immediately for the CLI
 

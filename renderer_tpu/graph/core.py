@@ -362,6 +362,50 @@ class CompiledPlan:
         return {o: env[o] for o in self.outputs}, new_state
 
 
+    def execute_timed(self, state: Mapping[str, Any], iters: int = 5, **external):
+        """DIAGNOSTIC: run the plan pass-by-pass, each pass as its own jitted
+        program timed over `iters` device-synchronized calls. Returns
+        (outputs, new_state, {pass_name: median_ms}).
+
+        The per-pass numbers are the TPU analogue of the reference's
+        per-system GPU timestamps in its imgui panel (ecs.rs:293-409). They
+        include one dispatch round-trip each (~2 ms through the axon tunnel)
+        and miss cross-pass fusion, so their sum exceeds the fused frame
+        time — treat them as a cost BREAKDOWN, not a frame budget."""
+        import statistics
+        import time as _time
+
+        import jax
+
+        env: dict[str, Any] = dict(state)
+        for k, v in external.items():
+            if k not in self.graph.resources or not self.graph.resources[k].external:
+                raise GraphError(f"unexpected external input {k!r}")
+            env[k] = v
+        timings: dict[str, float] = {}
+        for p in self.passes:
+            kwargs = {r: env[r] for r in p.reads}
+            for r in p.reads_prev:
+                kwargs[f"{r}_prev"] = state[r]
+            fn = jax.jit(lambda kw, _p=p: _p.fn(**kw))
+            result = jax.block_until_ready(fn(kwargs))  # compile + warm
+            samples = []
+            for _ in range(max(1, iters)):
+                t0 = _time.perf_counter()
+                result = jax.block_until_ready(fn(kwargs))
+                samples.append((_time.perf_counter() - t0) * 1e3)
+            timings[p.name] = statistics.median(samples)
+            if len(p.writes) == 1 and not isinstance(result, dict):
+                result = {p.writes[0]: result}
+            env.update(result)
+        new_state = {
+            r.name: env[r.name]
+            for r in self.graph.resources.values()
+            if r.persistent and r.name in env
+        }
+        return {o: env[o] for o in self.outputs if o in env}, new_state, timings
+
+
 class PlanCache:
     """Memoizes CompiledPlans by switch set — the analogue of the reference's
     cached submission plans + per-permutation pipelines (renderer.rs:3389-3396,

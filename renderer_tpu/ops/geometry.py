@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from renderer_tpu import mathx
 from renderer_tpu.mathx.camera import Camera, camera_matrices
@@ -384,28 +385,44 @@ def expand_cull_sort_two_phase(
 # 41 -> 21 ms.
 
 
-def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray) -> list:
-    """12 clip columns [c0:x,y,z,w, c1:..., c2:...] from tri records (E, 36)
-    and flat per-triangle clip matrices (E, 16).
+def _clip_mat(rec: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
+    """(E, 3, 4) clip positions from tri records (E, 36) and flat
+    per-triangle clip matrices (E, 16), via ONE batched dot_general.
 
-    Both tables are transposed ONCE so every column read is a contiguous
-    (E,) row slice — narrow (E, k) arrays pad their minor dim to 128 lanes
-    physically, so repeated column *slices* of the untransposed form would
-    each re-scan the padded table."""
+    Formulation matters enormously here (all measured at E=262k on v5e,
+    gather -> clip math -> cull+morton-key consumers):
+    - `rec.T` column math: 18.4 ms — XLA sinks the transposed layout INTO
+      the upstream gather, whose writes then go strided (and
+      optimization_barrier does NOT stop layout propagation);
+    - Pallas-copy layout firewall + column math: 5.2 ms at runtime, but
+      scatter+cummax -> gather -> pallas makes XLA's compile PATHOLOGICAL
+      (>20 min for the frame) — rejected;
+    - batched dot_general + `.T` of the DOT output: 10.4 ms and compiles
+      normally. The dot pins its operand layouts, so the gather keeps
+      row-major writes; the MXU eats the tiny matmuls."""
     from renderer_tpu.scene.types import TR_POS
 
-    rt = rec.T  # (36, E)
-    mt = mm.T   # (16, E)
-    cols = []
-    for c in range(3):
-        x = rt[TR_POS + 3 * c]
-        y = rt[TR_POS + 3 * c + 1]
-        z = rt[TR_POS + 3 * c + 2]
-        for i in range(4):
-            cols.append(
-                mt[4 * i] * x + mt[4 * i + 1] * y + mt[4 * i + 2] * z + mt[4 * i + 3]
-            )
-    return cols
+    e = rec.shape[0]
+    posh = jnp.concatenate(
+        [
+            rec[:, TR_POS : TR_POS + 9].reshape(e, 3, 3),
+            jnp.ones((e, 3, 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return jax.lax.dot_general(
+        posh, mm.reshape(e, 4, 4),
+        (((2,), (2,)), ((0,), (0,))), precision="highest",
+    )  # (E, 3 corners, 4 xyzw)
+
+
+def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray) -> list:
+    """12 clip columns [c0:x,y,z,w, c1:..., c2:...] — row reads of the
+    reshaped _clip_mat output ((E, 12).T of a dot is layout-safe; see
+    _clip_mat)."""
+    e = rec.shape[0]
+    ct = _clip_mat(rec, mm).reshape(e, 12).T  # (12, E)
+    return [ct[i] for i in range(12)]
 
 
 def _slot_map_counts(counts, base_i, capacity: int):
@@ -795,31 +812,35 @@ def build_draw_stream(
     # recompute survivor clip from the same inputs with the same op order
     # (bit-identical with phase A; avoids materializing + permuting a lane-
     # padded (E, 12) intermediate)
-    ccs = _clip_cols(rec_s, clip_mats.reshape(n, 16)[owner_s])
-    rt_s = rec_s.T  # (36, T) — row reads are free
-    mt_s = model.reshape(n, 16)[owner_s].T  # (16, T)
-
-    def rot3(base, stride):
-        """Rotate 3 corner vectors by the model linear part -> 9 columns
-        (corner-major xyz)."""
-        cols = []
-        for c in range(3):
-            vx = rt_s[base + stride * c]
-            vy = rt_s[base + stride * c + 1]
-            vz = rt_s[base + stride * c + 2]
-            for i in range(3):
-                cols.append(
-                    mt_s[4 * i] * vx + mt_s[4 * i + 1] * vy + mt_s[4 * i + 2] * vz
-                )
-        return cols
-
-    wnrm = rot3(TR_NRM, 3)
-    wtan = rot3(TR_TAN, 4)
-    uv_cols = [rt_s[TR_UV + k] for k in range(6)]
-    # interleave tangent xyz with handedness w -> xyzw per corner
-    tan_cols = []
+    t_out = out_capacity
+    cm_s = _clip_mat(rec_s, clip_mats.reshape(n, 16)[owner_s])  # (T, 3, 4)
+    ccs_t = cm_s.reshape(t_out, 12).T  # layout-safe: .T of a dot output
+    ccs = [ccs_t[i] for i in range(12)]
+    # normal/tangent rotation by the model linear part: batched dot_general
+    # on the MXU (column math over `.T` of the gathered tables makes the
+    # gathers write strided — see _clip_mat)
+    model_s = model.reshape(n, 16)[owner_s].reshape(t_out, 4, 4)
+    lin_s = model_s[:, :3, :3]
+    nrm3 = rec_s[:, TR_NRM : TR_NRM + 9].reshape(t_out, 3, 3)
+    wn = jax.lax.dot_general(
+        nrm3, lin_s, (((2,), (2,)), ((0,), (0,))), precision="highest"
+    )  # (T, 3 corners, 3 xyz)
+    tan4 = rec_s[:, TR_TAN : TR_TAN + 12].reshape(t_out, 3, 4)
+    wt = jax.lax.dot_general(
+        tan4[:, :, :3], lin_s, (((2,), (2,)), ((0,), (0,))), precision="highest"
+    )
+    # uv + tangent-handedness columns via a selector dot (exact: rows of the
+    # identity; keeps the rec_s gather row-major like every other consumer)
+    sel = np.zeros((rec_s.shape[1], 9), np.float32)
+    for k in range(6):
+        sel[TR_UV + k, k] = 1.0
     for c in range(3):
-        tan_cols += wtan[3 * c : 3 * c + 3] + [rt_s[TR_TAN + 4 * c + 3]]
+        sel[TR_TAN + 4 * c + 3, 6 + c] = 1.0
+    uvtw = rec_s @ jnp.asarray(sel)  # (T, 9) = [uv x6, tan_w x3]
+    uvt = uvtw.T
+    uv_cols = [uvt[k] for k in range(6)]
+    uv_blk = uvtw[:, :6]
+    tan_blk = jnp.concatenate([wt, uvtw[:, 6:9, None]], axis=-1).reshape(t_out, 12)
 
     # per-triangle texture LOD (same formula as finalize_tex_lod)
     sw = [jnp.where(jnp.abs(ccs[4 * c + 3]) > 1e-9, ccs[4 * c + 3], 1e-9)
@@ -880,23 +901,28 @@ def build_draw_stream(
         + cross_cols(uvec[0], uvec[1])
     )
 
-    cols = (
-        wnrm + uv_cols + tan_cols
-        + [tex_lod, owner_s.astype(jnp.float32)]
-        + [mat[:, k] for k in range(11)]
-        + edge_cols
-    )
-    srec = jnp.stack(cols, axis=-1)  # (T, 49) in SR_* order
+    srec = jnp.concatenate(
+        [
+            wn.reshape(t_out, 9),
+            uv_blk,
+            tan_blk,
+            tex_lod[:, None],
+            owner_s.astype(jnp.float32)[:, None],
+            mat,
+            jnp.stack(edge_cols, axis=-1),
+        ],
+        axis=-1,
+    )  # (T, 49) in SR_* order
     shade_rec = jnp.concatenate(
         [srec, jnp.zeros((out_capacity, SR_COLS - srec.shape[-1]), jnp.float32)],
         axis=-1,
     )
 
-    clip = jnp.stack(ccs, axis=-1).reshape(out_capacity, 3, 4)
+    clip = cm_s
     if want_soup_attrs:
-        normal = jnp.stack(wnrm, axis=-1).reshape(out_capacity, 3, 3)
-        uv = jnp.stack(uv_cols, axis=-1).reshape(out_capacity, 3, 2)
-        tangent = jnp.stack(tan_cols, axis=-1).reshape(out_capacity, 3, 4)
+        normal = wn
+        uv = uv_blk.reshape(out_capacity, 3, 2)
+        tangent = tan_blk.reshape(out_capacity, 3, 4)
     else:
         normal = jnp.zeros((out_capacity, 3, 3), jnp.float32)
         uv = jnp.zeros((out_capacity, 3, 2), jnp.float32)

@@ -177,8 +177,7 @@ def shade_pbr(
     else:
         n = n_geom
 
-    rt_occ = None  # per-LIGHT planes (brute force)
-    rt_occ_slots = None  # per-SLOT planes (grid path)
+    rt_occ_slots = None  # per-SLOT occlusion planes (grid or brute force)
     if rt_grid is not None:
         from renderer_tpu.ops.rt_grid import rt_shadow_grid
 
@@ -190,9 +189,10 @@ def shade_pbr(
     elif rt is not None:
         from renderer_tpu.ops.rt import rt_shadow_planes
 
-        tri_w, tri_v, tri_count, rt_scale = rt
-        rt_occ = rt_shadow_planes(
-            world, n_geom, scene.lights, tri_w, tri_v, tri_count, rt_scale
+        tri_w, tri_v, tri_count, n_slots, rt_scale = rt
+        rt_occ_slots = rt_shadow_planes(
+            world, n_geom, scene.lights, tri_w, tri_v, tri_count, n_slots,
+            rt_scale,
         )
 
     v = _normalize_cf(camera_pos[:, None, None] - world)
@@ -209,11 +209,12 @@ def shade_pbr(
         l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
         atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
         radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)
-        if rt_occ is not None:
-            radiance = radiance * rt_occ[li : li + 1]
         if rt_occ_slots is not None:
+            # any shadow-slot light traces (the grid path runs point lights
+            # per cube face; the brute-force fallback fills point slots with
+            # 1.0, so the multiply is a no-op there)
             slot = lights.shadow_slot[li]
-            use = (slot >= 0) & lights.directional[li]
+            use = (slot >= 0) & on
             occ_l = rt_occ_slots[jnp.maximum(slot, 0)]
             radiance = radiance * jnp.where(use, occ_l, 1.0)[None]
         if shadow is not None:

@@ -52,6 +52,12 @@ _R_Z = 9      # cols 9..11: z_clip per vertex
 _R_W = 12     # cols 12..14: w_clip per vertex
 _R_BB = 15    # cols 15..18: bbox (xmin, xmax, ymin, ymax) in pixel coords
 _R_OK = 19    # col 19: 1.0 if triangle participates
+# cols 20..22: per-edge fill-rule thresholds. The top-left rule
+# "lam > 0 or (lam == 0 and top_left)" costs 4 vector ops per edge; with TPU
+# flush-to-zero, lam is never a subnormal, so it is EXACTLY "lam > te" with
+# te = -FLT_MIN for top-left edges and 0 otherwise — one vector compare.
+_R_TE = 20
+_FLT_MIN = 1.1754943508222875e-38  # smallest normal f32
 
 
 def _setup_tri_data(clip, valid, width, height, cull_backface):
@@ -86,6 +92,14 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
     on_screen = (xmax >= 0) & (xmin <= width) & (ymax >= 0) & (ymin <= height)
     ok = ok & on_screen
 
+    # per-edge fill-rule thresholds (see _R_TE): top-left edges accept
+    # lam == 0, encoded as a strict compare against -FLT_MIN (exact under
+    # the TPU's flush-to-zero arithmetic)
+    ea = adj[..., 0]  # (T, 3)
+    eb = adj[..., 1]
+    top_left = (ea > 0) | ((ea == 0) & (eb > 0))
+    te = jnp.where(top_left, jnp.float32(-_FLT_MIN), jnp.float32(0.0))
+
     # row-record layout: one (32,) f32 record per triangle so the kernel can
     # slice 8-triangle sublane groups and read fields with static indices
     tri_data = jnp.concatenate(
@@ -95,7 +109,8 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
             ws,  # (T, 3)
             jnp.stack([xmin, xmax, ymin, ymax], axis=-1),  # (T, 4)
             ok[:, None].astype(jnp.float32),  # (T, 1)
-            jnp.zeros((t_cap, ROWS - 20), jnp.float32),  # lane padding
+            te,  # (T, 3)
+            jnp.zeros((t_cap, ROWS - 23), jnp.float32),  # lane padding
         ],
         axis=1,
     )
@@ -227,6 +242,11 @@ def _raster_kernel(
     # tile pixel bounds for the per-triangle scalar bbox reject
     tx0 = tx.astype(jnp.float32) * TILE_W
     ty0 = ty.astype(jnp.float32) * TILE_H + y0_ref[0].astype(jnp.float32)
+    # NOTE: vector work stays at full (TILE_H, TILE_W) granularity on
+    # purpose. An (8, 128)-subtile split gated by scalar y-range tests was
+    # measured SLOWER (33.2 vs 26.7 ms at the 1080p bench): the loop is
+    # scalar/branch bound, and four pl.when branches per visit cost more
+    # than the skipped vector issue slots.
     px = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
         + tx0
@@ -268,12 +288,13 @@ def _raster_kernel(
             base = blk * BLOCK
 
             # Records live in SMEM: every per-triangle field is a SCALAR
-            # read that broadcasts straight into the (TILE_H, TILE_W) vector
+            # read that broadcasts straight into the (SUB, TILE_W) vector
             # ops — no VMEM sublane slicing, no lane extraction (the VMEM
-            # variant spent ~half its cycles there), and a scalar bbox
-            # reject skips the ~20 vector ops for triangles whose bbox
-            # misses this tile (block bboxes are unions; individual
-            # triangles often miss).
+            # variant spent ~half its cycles there). A scalar bbox reject
+            # skips triangles whose bbox misses this tile entirely (block
+            # bboxes are unions; individual triangles often miss), and a
+            # per-SUBTILE scalar y-range test skips the (SUB, TILE_W) rows
+            # the triangle's bbox can't touch.
             def tri_one(k):
                 def s(col):
                     return buf[slot, k, col]
@@ -293,9 +314,9 @@ def _raster_kernel(
                         b = s(_R_E + 3 * e + 1)
                         cc = s(_R_E + 3 * e + 2)
                         lam = a * px + b * py + cc
-                        top_left = (a > 0) | ((a == 0) & (b > 0))
-                        accept = (lam > 0) | ((lam == 0) & top_left)
-                        return lam, accept
+                        # one-compare top-left fill rule via the precomputed
+                        # per-edge threshold (see _R_TE)
+                        return lam, lam > s(_R_TE + e)
 
                     lam0, a0 = edge(0)
                     lam1, a1 = edge(1)

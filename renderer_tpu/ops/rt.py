@@ -107,21 +107,34 @@ def rt_shadow_planes(
     tri: jnp.ndarray,
     tri_valid: jnp.ndarray,
     count,
+    n_slots: int = 4,
     rt_scale: int = 2,
 ) -> jnp.ndarray:
-    """(L, H, W) per-light occlusion. Computed at 1/rt_scale resolution and
-    nearest-upsampled (the soft-shadow jitter of the reference's 8-sample
-    query is approximated by the lower-frequency sampling)."""
+    """(n_slots, H, W) per-SLOT occlusion. Computed at 1/rt_scale resolution
+    and nearest-upsampled (the soft-shadow jitter of the reference's 8-sample
+    query is approximated by the lower-frequency sampling).
+
+    Iterates shadow SLOTS, not the light table: only lights granted a slot
+    can trace, so the O(P x T) sweep runs at most n_slots times, and
+    `lax.cond` skips it entirely for slots no directional light holds (a
+    bench-shaped light table previously paid the full sweep per light and
+    masked the result after)."""
     s = rt_scale
     w_ds = world[:, ::s, ::s]
     n_ds = normal[:, ::s, ::s]
+    slot = lights.shadow_slot
     planes = []
-    for li in range(lights.alive.shape[0]):
-        want = lights.alive[li] & (lights.shadow_slot >= 0)[li] & lights.directional[li]
-        occ = ray_shadow_directional(
-            w_ds, n_ds, lights.position[li], tri, tri_valid, count
+    for si in range(n_slots):
+        holds = lights.alive & (slot == si) & lights.directional
+        has = jnp.any(holds)
+        hsel = holds[:, None].astype(jnp.float32)
+        direction = jnp.sum(lights.position * hsel, axis=0)
+        occ = jax.lax.cond(
+            has,
+            lambda d: ray_shadow_directional(w_ds, n_ds, d, tri, tri_valid, count),
+            lambda d: jnp.ones((1,) + w_ds.shape[1:], jnp.float32),
+            direction,
         )
-        occ = jnp.where(want, occ, 1.0)
         if s > 1:
             occ = jnp.repeat(jnp.repeat(occ, s, axis=1), s, axis=2)
         planes.append(occ[0, : world.shape[1], : world.shape[2]])

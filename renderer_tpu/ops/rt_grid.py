@@ -38,50 +38,53 @@ from renderer_tpu.ops.raster_pallas import (
     _bin_blocks,
 )
 
-# record columns (light-space, NDC scale)
+# record columns (light-space, 2D homogeneous — handles perspective lights)
 _O_E = 0    # 0..8   edge coeffs (sign-normalized: inside => all lam >= 0)
-_O_Z = 9    # 9..11  affine depth plane (A, B, C): z(x, y) = A x + B y + C
-_O_BB = 12  # 12..15 light bbox (xmin, xmax, ymin, ymax)
-_O_OK = 16
+_O_Z = 9    # 9..11  z_clip per vertex (rational depth z = z_num / w_den)
+_O_W = 12   # 12..14 w_clip per vertex
+_O_BB = 15  # 15..18 light NDC bbox (xmin, xmax, ymin, ymax)
+_O_OK = 19
 
 
 def _setup_light_tris(clip, valid):
     """Light-clip triangles -> (tri_data (T, ROWS), bbox_ok for binning).
 
-    Works for orthographic lights (w == 1); perspective light support would
-    reuse the rasterizer's homogeneous formulation."""
+    2D-homogeneous (clipless) formulation — the same math as the camera
+    rasterizer (ops/raster_spec.py): edge functions are cross products of
+    the clip-space (x, y, w) columns and depth is the rational
+    z_num/w_den, so PERSPECTIVE lights (point-light cube faces) work
+    without near-plane clipping; for orthographic lights (w == 1) this
+    reduces exactly to the 2D case."""
+    x = clip[..., 0]  # (T, 3)
+    y = clip[..., 1]
+    z = clip[..., 2]
     w = clip[..., 3]
-    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
-    x = clip[..., 0] / safe_w  # (T, 3)
-    y = clip[..., 1] / safe_w
-    z = clip[..., 2] / safe_w
     t_cap = clip.shape[0]
 
-    # edge functions from 2D homogeneous columns u_c = (x_c, y_c, 1)
     def cross_cols(ax, ay, aw, bx, by, bw):
         return (ay * bw - aw * by, aw * bx - ax * bw, ax * by - ay * bx)
 
-    e0 = cross_cols(x[:, 1], y[:, 1], 1.0, x[:, 2], y[:, 2], 1.0)
-    e1 = cross_cols(x[:, 2], y[:, 2], 1.0, x[:, 0], y[:, 0], 1.0)
-    e2 = cross_cols(x[:, 0], y[:, 0], 1.0, x[:, 1], y[:, 1], 1.0)
-    det = e0[0] * x[:, 0] + e0[1] * y[:, 0] + e0[2]
+    e0 = cross_cols(x[:, 1], y[:, 1], w[:, 1], x[:, 2], y[:, 2], w[:, 2])
+    e1 = cross_cols(x[:, 2], y[:, 2], w[:, 2], x[:, 0], y[:, 0], w[:, 0])
+    e2 = cross_cols(x[:, 0], y[:, 0], w[:, 0], x[:, 1], y[:, 1], w[:, 1])
+    det = e0[0] * x[:, 0] + e0[1] * y[:, 0] + e0[2] * w[:, 0]
     sgn = jnp.sign(det)
-    inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
     ok = valid & (det != 0)
 
-    # affine depth: z(x,y) = sum_i lam_i z_i / det
-    za = (e0[0] * z[:, 0] + e1[0] * z[:, 1] + e2[0] * z[:, 2]) * inv_det
-    zb = (e0[1] * z[:, 0] + e1[1] * z[:, 1] + e2[1] * z[:, 2]) * inv_det
-    zc = (e0[2] * z[:, 0] + e1[2] * z[:, 1] + e2[2] * z[:, 2]) * inv_det
-
-    xmin = jnp.min(x, axis=1)
-    xmax = jnp.max(x, axis=1)
-    ymin = jnp.min(y, axis=1)
-    ymax = jnp.max(y, axis=1)
+    # NDC bbox; w-crossing triangles get the full screen (clipless rule)
+    all_front = jnp.all(w > 1e-9, axis=1)
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    px = x / safe_w
+    py = y / safe_w
+    xmin = jnp.where(all_front, jnp.min(px, axis=1), -2.0)
+    xmax = jnp.where(all_front, jnp.max(px, axis=1), 2.0)
+    ymin = jnp.where(all_front, jnp.min(py, axis=1), -2.0)
+    ymax = jnp.where(all_front, jnp.max(py, axis=1), 2.0)
 
     cols = [c * sgn for e in (e0, e1, e2) for c in e]
-    cols += [za, zb, zc, xmin, xmax, ymin, ymax, ok.astype(jnp.float32)]
-    tri_data = jnp.stack(cols, axis=-1)  # (T, 17)
+    cols += [z[:, 0], z[:, 1], z[:, 2], w[:, 0], w[:, 1], w[:, 2]]
+    cols += [xmin, xmax, ymin, ymax, ok.astype(jnp.float32)]
+    tri_data = jnp.stack(cols, axis=-1)  # (T, 20)
     tri_data = jnp.concatenate(
         [tri_data, jnp.zeros((t_cap, ROWS - tri_data.shape[-1]), jnp.float32)], -1
     )
@@ -176,9 +179,17 @@ def _occlusion_kernel(
                     lam0 = s(_O_E) * lx + s(_O_E + 1) * ly + s(_O_E + 2)
                     lam1 = s(_O_E + 3) * lx + s(_O_E + 4) * ly + s(_O_E + 5)
                     lam2 = s(_O_E + 6) * lx + s(_O_E + 7) * ly + s(_O_E + 8)
-                    zt = s(_O_Z) * lx + s(_O_Z + 1) * ly + s(_O_Z + 2)
+                    # rational depth (divide-free): the caster occludes iff
+                    # z_num/w_den < ld with w_den > 0 (in front of the light)
+                    z_num = (
+                        lam0 * s(_O_Z) + lam1 * s(_O_Z + 1) + lam2 * s(_O_Z + 2)
+                    )
+                    w_den = (
+                        lam0 * s(_O_W) + lam1 * s(_O_W + 1) + lam2 * s(_O_W + 2)
+                    )
                     covered = (
-                        (lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0) & (zt < ld)
+                        (lam0 >= 0) & (lam1 >= 0) & (lam2 >= 0)
+                        & (w_den > 0) & (z_num < ld * w_den)
                     )
                     occ_ref[:] = jnp.where(covered, 0.0, occ_ref[:])
 
@@ -281,13 +292,29 @@ def rt_shadow_grid(
     interpret: bool = False,
     depth_eps: float = 1.5e-3,
 ) -> jnp.ndarray:
-    """(n_slots, H, W) per-SLOT occlusion planes (directional shadow lights
-    only; slots without one return 1.0 everywhere). Slot-major so the
-    per-slot caster expansion + traversal scale with the configured shadow
-    capacity, not the light-table size (shading maps lights to slots via
+    """(n_slots, H, W) per-SLOT occlusion planes (slots without a shadow
+    light return 1.0 everywhere). Slot-major so the per-slot caster
+    expansion + traversal scale with the configured shadow capacity, not
+    the light-table size (shading maps lights to slots via
     lights.shadow_slot). Per-light caster expansion includes off-camera
-    geometry."""
+    geometry.
+
+    DIRECTIONAL slots run one ortho traversal. POINT slots run the SAME
+    kernel per cube face (fov-90 perspective, the reference ray-query's
+    any-light capability, acceleration_strucures.rs:400-569 +
+    gltf_mesh.frag:136-160): casters are expanded ONCE into light-centered
+    world space, each face applies its rotation+projection to the expanded
+    stream (tiny per-face matmuls), and every screen pixel traces only in
+    its major-axis face — tiles whose pixels face elsewhere have empty
+    receiver bboxes, so the six traversals together touch about one
+    screen's worth of tiles."""
     from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
+    from renderer_tpu.ops.shadow import (
+        CUBE_FACE_DIRS,
+        CUBE_FACE_UPS,
+        lod_by_distance,
+    )
+    from renderer_tpu.mathx.camera import look_at, perspective
 
     lights = scene.lights
     # world-space normal offset proportional to scene scale (the normal-
@@ -299,22 +326,76 @@ def rt_shadow_grid(
 
     planes = []
     for slot in range(n_slots):
-        match = (lights.shadow_slot == slot) & lights.alive & lights.directional
+        match = (lights.shadow_slot == slot) & lights.alive
         li = jnp.argmax(match)
         want = jnp.any(match)
-        m = light_mats[li]
-        lclip = jnp.einsum("ij,jhw->ihw", m, hcf, precision="highest")
-        lw = jnp.where(jnp.abs(lclip[3]) > 1e-9, lclip[3], 1e-9)
-        lx = lclip[0] / lw
-        ly = lclip[1] / lw
-        ld = lclip[2] / lw - depth_eps
-        ld = jnp.where(covered & want, ld, jnp.inf)
+        is_point = want & ~lights.directional[li]
+        lpos = lights.position[li]
 
-        clip_mats = jnp.einsum("ij,njk->nik", m, model, precision="highest")
-        visible = coarse_cull(scene, model, m) & want
-        cclip, cvalid, _ = expand_clip_only(
-            scene, visible, lod, clip_mats, caster_capacity
-        )
-        occ = occlusion_grid(cclip, cvalid, lx, ly, ld, interpret=interpret)
+        def directional(_):
+            m = light_mats[li]
+            lclip = jnp.einsum("ij,jhw->ihw", m, hcf, precision="highest")
+            lw = jnp.where(jnp.abs(lclip[3]) > 1e-9, lclip[3], 1e-9)
+            lx = lclip[0] / lw
+            ly = lclip[1] / lw
+            ld = lclip[2] / lw - depth_eps
+            ld = jnp.where(covered & want, ld, jnp.inf)
+            clip_mats = jnp.einsum("ij,njk->nik", m, model, precision="highest")
+            visible = coarse_cull(scene, model, m) & want
+            cclip, cvalid, _ = expand_clip_only(
+                scene, visible, lod, clip_mats, caster_capacity
+            )
+            return occlusion_grid(cclip, cvalid, lx, ly, ld, interpret=interpret)
+
+        def point(_):
+            # one expansion in light-centered world space (w stays 1)
+            trans = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(-lpos)
+            cm = jnp.einsum("ij,njk->nik", trans, model, precision="highest")
+            visible = scene.instances.alive & want
+            lod_l = lod_by_distance(scene, model, lpos)
+            cworld, cvalid, _ = expand_clip_only(
+                scene, visible, lod_l, cm, caster_capacity
+            )
+            # receiver cube face by major axis of light->receiver
+            d_l = offset_world - lpos[:, None, None]
+            ax, ay, az = jnp.abs(d_l[0]), jnp.abs(d_l[1]), jnp.abs(d_l[2])
+            face = jnp.where(
+                (ax >= ay) & (ax >= az),
+                jnp.where(d_l[0] >= 0, 0, 1),
+                jnp.where(
+                    ay >= az,
+                    jnp.where(d_l[1] >= 0, 2, 3),
+                    jnp.where(d_l[2] >= 0, 4, 5),
+                ),
+            )
+            near = scene_radius * 1e-2 + 1e-6
+            far = scene_radius * 4.0 + 1e-3
+            proj = perspective(jnp.pi / 2, 1.0, near, far)
+            zero = jnp.zeros((3,), jnp.float32)
+            occ = jnp.ones(world.shape[1:], jnp.float32)
+            hrel = jnp.concatenate(
+                [d_l, jnp.ones((1,) + world.shape[1:], jnp.float32)], axis=0
+            )
+            for f in range(6):
+                mf = proj @ look_at(
+                    zero, jnp.asarray(CUBE_FACE_DIRS[f]), jnp.asarray(CUBE_FACE_UPS[f])
+                )
+                lclip = jnp.einsum("ij,jhw->ihw", mf, hrel, precision="highest")
+                lw = jnp.where(jnp.abs(lclip[3]) > 1e-9, lclip[3], 1e-9)
+                lx = lclip[0] / lw
+                ly = lclip[1] / lw
+                ld = lclip[2] / lw - depth_eps
+                sel = covered & want & (face == f)
+                ld = jnp.where(sel, ld, jnp.inf)
+                cclip = jnp.einsum(
+                    "ij,tkj->tki", mf, cworld, precision="highest"
+                )
+                occ_f = occlusion_grid(
+                    cclip, cvalid, lx, ly, ld, interpret=interpret
+                )
+                occ = jnp.where(sel, occ_f, occ)
+            return occ
+
+        occ = jax.lax.cond(is_point, point, directional, operand=None)
         planes.append(jnp.where(want, occ, 1.0))
     return jnp.stack(planes, axis=0)

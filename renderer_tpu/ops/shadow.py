@@ -26,7 +26,10 @@ from renderer_tpu.scene.types import Lights
 # cube-face packing inside one (S, S) atlas slot: 2 cols x 3 rows of
 # (S//2, S//4) faces (bottom S//4 band unused). Faces are fov-90 perspective
 # cameras in axis order +x,-x,+y,-y,+z,-z; selection = major axis of the
-# light->receiver direction.
+# light->receiver direction. NOTE: the square fov-90 image lands in a 2:1
+# viewport, so vertical texel density is half the horizontal; write and read
+# mappings agree (correct), and the texel_pt bias uses the coarser fh
+# density, which is the conservative choice.
 CUBE_FACE_DIRS = (
     (1.0, 0.0, 0.0), (-1.0, 0.0, 0.0),
     (0.0, 1.0, 0.0), (0.0, -1.0, 0.0),
@@ -125,6 +128,30 @@ def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndar
     return jnp.where(want[:, None, None], mats, jnp.eye(4, dtype=jnp.float32))
 
 
+def lod_by_distance(scene, model: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+    """(N,) i32 per-instance LOD picked by distance from `point` (a light
+    position) — the reference picks each shadow caster's LOD by distance to
+    the LIGHT, not the camera (shadow_mapping.rs:462 pick_lod(...,
+    light_position, mesh_position)), so near-light/far-camera casters shadow
+    at full detail. Same coverage formula as the camera pick
+    (geometry.prepare_frame_columns) with the light as the eye."""
+    lib = scene.meshes
+    inst = scene.instances
+    mn = lib.mesh_aabb_min[inst.mesh_id]  # (N, 3)
+    mx = lib.mesh_aabb_max[inst.mesh_id]
+    c_loc = (mn + mx) * 0.5
+    cw = (
+        jnp.einsum("nij,nj->ni", model[:, :3, :3], c_loc, precision="highest")
+        + model[:, :3, 3]
+    )
+    s = jnp.linalg.norm(model[:, :3, 0], axis=-1)  # uniform scale
+    radius = jnp.linalg.norm(mx - mn, axis=-1) * 0.5 * s
+    dist = jnp.linalg.norm(cw - point[None], axis=-1)
+    ratio = radius / jnp.maximum(dist, 1e-6)
+    lod = jnp.floor(jnp.log2(jnp.maximum(0.25 / jnp.maximum(ratio, 1e-6), 1.0)))
+    return jnp.clip(lod, 0, lib.lod_tri_count.shape[1] - 1).astype(jnp.int32)
+
+
 def render_shadow_atlas_per_light(
     scene,
     light_mats: jnp.ndarray,  # (L, 6, 4, 4) from light_matrices_cube
@@ -168,11 +195,11 @@ def render_shadow_atlas_per_light(
             strip_rows=min(32, h), cull_backface=False, count=count,
         ).depth
 
-    def _render_view(m, active, w, h):
+    def _render_view(m, active, w, h, lod_pick):
         clip_mats = jnp.einsum("ij,njk->nik", m, model, precision="highest")
         visible = coarse_cull(scene, model, m) & active
         clip, valid, count = expand_clip_only(
-            scene, visible, lod, clip_mats, caster_capacity
+            scene, visible, lod_pick, clip_mats, caster_capacity
         )
         return _raster(clip, valid, count, w, h)
 
@@ -183,13 +210,18 @@ def render_shadow_atlas_per_light(
         is_point = active & ~lights.directional[li]
 
         def directional(_):
-            return _render_view(light_mats[li, 0], active, slot_size, slot_size)
+            # ortho projection: texel footprint is uniform, the camera
+            # coverage pick is the right detail proxy
+            return _render_view(light_mats[li, 0], active, slot_size, slot_size, lod)
 
         def point(_):
+            # perspective: pick LOD by distance to THIS light (ref
+            # shadow_mapping.rs:462) — shared across the six faces
+            lod_l = lod_by_distance(scene, model, lights.position[li])
             rows = []
             for r in range(3):
                 pair = [
-                    _render_view(light_mats[li, 2 * r + c], active, fw, fh)
+                    _render_view(light_mats[li, 2 * r + c], active, fw, fh, lod_l)
                     for c in range(2)
                 ]
                 rows.append(jnp.concatenate(pair, axis=1))  # (fh, S)

@@ -15,10 +15,28 @@ import jax.numpy as jnp
 from renderer_tpu.scene.textures import TextureAtlas
 
 
+def _level_geom(atlas: TextureAtlas, level):
+    """(size, offset) for a per-pixel level array WITHOUT table gathers.
+
+    The builder packs level l at size s_l = S >> l with all n layer slots,
+    level-major (scene/textures.py:9-15), so both are closed-form:
+        size(l)   = S >> l
+        offset(l) = n * 4 * (S^2 - s_l^2) / 3     (geometric series, exact)
+    S and n come from STATIC-index slices of the aux tables (no gather).
+    At 2M pixels the two table gathers this replaces are index-rate-bound
+    like any other gather — pure bit math is free by comparison."""
+    s0 = atlas.level_size[0]
+    size = s0 >> level
+    if atlas.num_levels == 1:
+        return size, jnp.zeros_like(level)
+    n_slots = atlas.level_offset[1] // (s0 * s0)
+    off = n_slots * (((s0 * s0 - size * size) * 4) // 3)
+    return size, off
+
+
 def _fetch_rgba(atlas: TextureAtlas, level, layer, x, y):
     """Integer texel fetch -> (4, ...) f32 in [0,1]. x, y pre-wrapped."""
-    size = atlas.level_size[level]
-    off = atlas.level_offset[level]
+    size, off = _level_geom(atlas, level)
     idx = off + (layer * size + y) * size + x
     word = atlas.packed_u32[idx]
     return jnp.stack(
@@ -34,7 +52,7 @@ def _fetch_rgba(atlas: TextureAtlas, level, layer, x, y):
 
 def _bilinear(atlas: TextureAtlas, level, layer, u, v):
     """level/layer/u/v: (...,) arrays; u, v in [0,1). Returns (4, ...)."""
-    size = atlas.level_size[level]
+    size, _ = _level_geom(atlas, level)
     fs = size.astype(jnp.float32)
     tx = u * fs - 0.5
     ty = v * fs - 0.5
@@ -57,6 +75,36 @@ def _bilinear(atlas: TextureAtlas, level, layer, u, v):
     )
 
 
+def _gather_quad_row(atlas, idx):
+    """One texel's QUAD_COLS row from the packed quad table.
+
+    QUAD_PACK texels share each physical 128-lane row (scene/textures.py):
+    gather the shared row (gathers are index-rate-bound, so a fuller row
+    costs the same), then a log2(pack)-deep lane-select tree picks this
+    texel's 16-column slice. Measured on v5e at 2M samples: pack=4 is ~2x
+    FASTER than the padded (N, 16) layout at 1/4 the memory."""
+    from renderer_tpu.scene.textures import QUAD_COLS
+
+    pack = atlas.quad_pack
+    if pack == 1:
+        return atlas.quad_u32[idx]
+    shift = pack.bit_length() - 1
+    rows = atlas.quad_u32[idx >> shift]  # (..., QUAD_COLS * pack)
+    sub = idx & (pack - 1)
+    chunks = [
+        rows[..., QUAD_COLS * k : QUAD_COLS * (k + 1)] for k in range(pack)
+    ]
+    bit = 1
+    while len(chunks) > 1:
+        take_hi = (sub & bit)[..., None] != 0
+        chunks = [
+            jnp.where(take_hi, chunks[2 * k + 1], chunks[2 * k])
+            for k in range(len(chunks) // 2)
+        ]
+        bit <<= 1
+    return chunks[0]
+
+
 def _sample_quad_cf(atlas, layer, u, v, lod, trilinear):
     """One-row-gather filtering via the quad table (scene/textures.py):
     each gathered row carries the level-l0 2x2 quad and the 3x3 level-l1
@@ -71,7 +119,7 @@ def _sample_quad_cf(atlas, layer, u, v, lod, trilinear):
         trilinear = False
     lod = jnp.clip(lod, 0.0, n_levels - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
-    size = atlas.level_size[l0]
+    size, off = _level_geom(atlas, l0)
     fs = size.astype(jnp.float32)
     tx = uf * fs - 0.5
     ty = vf * fs - 0.5
@@ -82,8 +130,8 @@ def _sample_quad_cf(atlas, layer, u, v, lod, trilinear):
     m = size - 1
     x0 = x0f.astype(jnp.int32) & m
     y0 = y0f.astype(jnp.int32) & m
-    idx = atlas.level_offset[l0] + (safe_layer * size + y0) * size + x0
-    rows = atlas.quad_u32[idx]  # (..., QUAD_COLS) — THE gather
+    idx = off + (safe_layer * size + y0) * size + x0
+    rows = _gather_quad_row(atlas, idx)  # (..., QUAD_COLS) — THE gather
 
     def unpack(word):
         return jnp.stack(
@@ -104,7 +152,9 @@ def _sample_quad_cf(atlas, layer, u, v, lod, trilinear):
     )
     if trilinear and n_levels > 1:
         f = (lod - l0.astype(jnp.float32))[None]
-        s1 = atlas.level_size[jnp.minimum(l0 + 1, n_levels - 1)].astype(jnp.float32)
+        s1 = (atlas.level_size[0] >> jnp.minimum(l0 + 1, n_levels - 1)).astype(
+            jnp.float32
+        )
         tx1 = uf * s1 - 0.5
         ty1 = vf * s1 - 0.5
         x1f = jnp.floor(tx1)

@@ -138,7 +138,10 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         return gathered.reshape((-1,) + x.shape[1:])
 
     g = FrameGraph("forward")
-    g.switch("freeze_culling", "debug_aabbs", "shadows", "occlusion_culling", "rt", "hud")
+    g.switch(
+        "freeze_culling", "debug_aabbs", "shadows", "occlusion_culling", "rt",
+        "hud", "reference_image",
+    )
 
     g.resource("scene", external=True, desc="Scene pytree (SoA)")
     g.resource("camera", external=True, desc="Camera")
@@ -492,7 +495,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         # the SPMD-gathered stream's valid mask is segmented, not a prefix:
         # bound the ray loop by capacity (masks stay exact)
         cnt = jnp.int32(cfg.tri_capacity) if SP else soup.count
-        rt = (tri_w, soup.valid, cnt, cfg.rt_scale)
+        rt = (tri_w, soup.valid, cnt, cfg.shadow_slots, cfg.rt_scale)
         return {img_res: _shade(vis, soup, shade_rec, scene_view, camera, prepared, rt=rt)}
 
     if cfg.ssaa > 1:
@@ -519,11 +522,59 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         frame (the final over-ICI all-gather; ~one frame of traffic)."""
         return _gather(image_pre) if SP else image_pre
 
-    @g.pass_("present", reads=["image_pre"], writes=["image"], condition="!hud")
+    @g.pass_(
+        "present", reads=["image_pre"], writes=["image"],
+        condition=["!hud", "!reference_image"],
+    )
     def present(image_pre):
         """Identity blit (fused away by XLA) — keeps 'image' single-writer
-        per plan while the hud switch swaps the producer."""
+        per plan while the hud/reference_image switches swap the producer."""
         return {"image": _assemble(image_pre)}
+
+    @g.pass_(
+        "reference_view",
+        reads=["image_pre", "soup", "shade_rec", "scene_view", "camera", "prepared"],
+        writes=["image"],
+        condition=["reference_image", "!hud", "!debug_aabbs"],
+    )
+    def reference_view(image_pre, soup, shade_rec, scene_view, camera, prepared):
+        """Runtime A/B: shade the SAME culled stream through the independent
+        XLA scan rasterizer at 1/4 resolution and composite a diff heatmap
+        over the main image (the reference's reference_rt switch blits its
+        compute-raytraced frame over the output for eyeballing,
+        reference_raytracer.rs:34-93, renderer.rs:1746-1786). Gross breakage
+        (winding, culling, precision) shows as magenta; the expected
+        low-res/edge disagreement stays below the tint threshold."""
+        from renderer_tpu.ops.pbr import shade_pbr
+        from renderer_tpu.ops.raster_jax import rasterize
+
+        k = 4
+        wlo, hlo = cfg.width // k, cfg.height // k
+        vis_lo = rasterize(
+            soup.clip, soup.valid, wlo, hlo,
+            cull_backface=cfg.cull_backface, count=soup.count,
+        )
+        ref = shade_pbr(
+            vis_lo, shade_rec, scene_view, camera.position,
+            viewproj_inv=prepared[7], background=cfg.background,
+            enable_textures=cfg.enable_textures,
+            enable_normal_maps=cfg.enable_normal_maps,
+            trilinear=cfg.trilinear,
+            bary_from_records=False,  # the independent path: raster barys
+        )
+        main = _assemble(image_pre)
+        ref_up = jnp.repeat(jnp.repeat(ref, k, axis=0), k, axis=1)
+        ref_up = ref_up[: main.shape[0], : main.shape[1]]
+        # downsample main to the reference grid for a fair diff, then
+        # broadcast the per-cell heat back up (kills upsample-edge noise)
+        mlo = main[: hlo * k, : wlo * k].reshape(hlo, k, wlo, k, 3).mean(axis=(1, 3))
+        heat = jnp.abs(mlo - ref).mean(axis=-1)  # (hlo, wlo)
+        heat_up = jnp.repeat(jnp.repeat(heat, k, axis=0), k, axis=1)
+        heat_up = heat_up[: main.shape[0], : main.shape[1]]
+        tint = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+        mask = (heat_up > 0.08)[..., None]
+        out = jnp.where(mask, 0.35 * main + 0.65 * tint, main)
+        return {"image": out}
 
     @g.pass_("overlay_pass", reads=["image_pre", "overlay"], writes=["image"],
              condition="hud")

@@ -36,6 +36,8 @@ class RuntimeConfig:
     occlusion_culling: bool = False
     rt: bool = False
     hud: bool = False  # burn the 2D overlay into the frame (imgui pass)
+    # composite a low-res XLA-reference diff heatmap (ref: reference_rt)
+    reference_image: bool = False
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -160,3 +162,26 @@ class Renderer:
 
     def block(self, outputs) -> None:
         jax.block_until_ready(outputs)
+
+    # -- diagnostics ---------------------------------------------------------
+    def pass_timings(self, camera: Camera, time_s=0.0, overlay=None, iters=5):
+        """Per-pass device timings for the CURRENT plan (diagnostic mode —
+        see CompiledPlan.execute_timed). Does not advance frame state.
+        Feeds the HUD's timing table (the reference's per-system GPU
+        timestamp panel, ecs.rs:293-409)."""
+        if overlay is None:
+            from renderer_tpu.ops.overlay import Overlay
+
+            overlay = Overlay.empty()
+        plan = self.plans.plan(self.config.as_dict())
+        declared = self._external_names()
+        ext = {
+            "scene": self.scene, "camera": camera,
+            "time": jax.numpy.float32(time_s), "overlay": overlay,
+        }
+        _, _, timings = plan.execute_timed(
+            self.state, iters=iters,
+            **{k: v for k, v in ext.items() if k in declared},
+        )
+        self.stats["pass_ms"] = timings
+        return timings

@@ -66,6 +66,12 @@ def format_hud(
         lines.append(
             f"raster bins: {'OK' if n == 0 else f'{n} tiles OVERFLOWED (walk-all fallback)'}"
         )
+    pass_ms = renderer.stats.get("pass_ms")
+    if pass_ms:
+        lines.append("pass timings (device, diagnostic — see pass_timings()):")
+        for name, ms in pass_ms.items():
+            lines.append(f"  {name:<18s} {ms:7.2f} ms")
+        lines.append(f"  {'SUM (unfused)':<18s} {sum(pass_ms.values()):7.2f} ms")
     for k, v in (extra or {}).items():
         lines.append(f"{k}: {v}")
     return "\n".join(lines)

@@ -180,16 +180,21 @@ def _upload_texture_quads(quad, level_offset, layer, *mips):
     """Refresh the layer's quad-table rows (the one-gather filtering
     accelerator, scene/textures.py) from its freshly staged mips — same
     donated-single-program pattern as _upload_texture_mips."""
-    from renderer_tpu.scene.textures import quad_rows_for_layer
+    from renderer_tpu.scene.textures import QUAD_COLS, quad_rows_for_layer
 
     imgs = []
     for w in mips:
         s = int(round(np.sqrt(w.shape[0])))
         imgs.append(w.reshape(s, s))
     rows = quad_rows_for_layer(imgs, xp=jnp)
+    pack = quad.shape[1] // QUAD_COLS
     for lvl, r in enumerate(rows):
         start = level_offset[lvl] + layer * r.shape[0]
-        quad = jax.lax.dynamic_update_slice(quad, r, (start, 0))
+        # QUAD_PACK texels share a physical row; level blocks are pack-
+        # aligned by construction (scene/textures.py), so the packed view of
+        # this level's rows is a clean rectangle
+        r = r.reshape(r.shape[0] // pack, QUAD_COLS * pack)
+        quad = jax.lax.dynamic_update_slice(quad, r, (start // pack, 0))
     return quad
 
 

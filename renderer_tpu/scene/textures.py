@@ -34,25 +34,39 @@ class TextureAtlas(NamedTuple):
     level-(l+1) neighborhood that covers every possible (l+1)-level bilinear
     footprint of uvs landing in this texel. A FULL trilinear sample is then
     ONE row-gather (measured on v5e: 145 ms -> 11.6 ms at 2M pixels; flat
-    per-tap gathers are index-rate-bound, so fewer/wider gathers win). The
-    TPU's tiled layout pads any (N, k<=128) row to 128 lanes physically, so
-    the 13 used columns cost the same HBM as 128 would."""
+    per-tap gathers are index-rate-bound, so fewer/wider gathers win).
+    QUAD_PACK texels share each physical 128-lane row (see QUAD_PACK)."""
 
     packed_u32: "np.ndarray"  # (total_texels,) uint32, R | G<<8 | B<<16 | A<<24
     level_offset: "np.ndarray"  # (n_levels,) int32, texel offsets
     level_size: "np.ndarray"    # (n_levels,) int32, s_l
     n_layers: "np.ndarray"      # () int32
-    quad_u32: "np.ndarray" = None  # (total_texels, QUAD_COLS) u32, or None
+    # (total_texels // QUAD_PACK, QUAD_COLS * QUAD_PACK) u32, or None
+    quad_u32: "np.ndarray" = None
 
     @property
     def num_levels(self) -> int:
         return self.level_size.shape[0]
 
+    @property
+    def quad_pack(self) -> int:
+        return self.quad_u32.shape[1] // QUAD_COLS
+
 
 # quad row columns: [q00, q10, q01, q11, n3 row-major (9)] = 13, padded to 16
 QUAD_COLS = 16
+# Texels per physical quad-table row. A (N, 16)-u32 row pads to 128 lanes
+# physically (512 B/texel, 87% padding); packing QUAD_PACK texels per
+# 128-lane row cuts quad-table memory QUAD_PACK-fold LOSSLESSLY, and the
+# consumer's k-way lane select after the row gather measured FASTER than
+# the padded layout on v5e (P1 vs P4 at 2M samples) — fewer, fuller rows.
+# This is the TPU answer to the reference's BC7 compressed-texture tier
+# (scene_loader.rs:318-376): same goal (shrink texture memory/bandwidth),
+# zero quality loss. Alignment: every mip level block is 64-texel aligned
+# once the chain stops at 4x4 (see build_mips min_size), so packed rows
+# never straddle a level/layer boundary.
+QUAD_PACK = 4
 # build the quad table only when it stays under this physical budget
-# (rows are padded to 128 lanes = 512 B each on TPU)
 QUAD_TABLE_MAX_BYTES = 1 << 29  # 512 MB
 
 
@@ -125,8 +139,13 @@ def _box_downsample(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(f), 0, 255).astype(np.uint8)
 
 
-def build_mips(img: np.ndarray, min_size: int = 1) -> list:
-    """Full mip chain from (S, S, 4) u8."""
+def build_mips(img: np.ndarray, min_size: int = 4) -> list:
+    """Mip chain from (S, S, 4) u8 down to min_size.
+
+    The chain stops at 4x4 (not 1x1) so every level block is 64-texel
+    aligned — the invariant the packed quad table's row layout needs (and
+    4x4 is the reference's BC block granularity; the 1-8 texel tail mips
+    contribute nothing visible)."""
     mips = [img]
     while mips[-1].shape[0] > min_size:
         mips.append(_box_downsample(mips[-1]))
@@ -198,8 +217,11 @@ class TextureAtlasBuilder:
         offsets = np.asarray(offsets, np.int32)
         sizes = np.asarray(sizes, np.int32)
         quad = None
-        if p32.shape[0] * 512 <= QUAD_TABLE_MAX_BYTES:  # 512 B padded row
-            quad = jnp.asarray(build_quad_table(p32, offsets, sizes, n))
+        pack = QUAD_PACK if p32.shape[0] % QUAD_PACK == 0 else 1
+        # physical row = 128 lanes * 4 B regardless of pack; pack texels share it
+        if p32.shape[0] * 512 // pack <= QUAD_TABLE_MAX_BYTES:
+            q = build_quad_table(p32, offsets, sizes, n)
+            quad = jnp.asarray(q.reshape(q.shape[0] // pack, QUAD_COLS * pack))
         return TextureAtlas(
             packed_u32=jnp.asarray(p32),
             level_offset=jnp.asarray(offsets),

@@ -173,3 +173,23 @@ def test_cluster_cull_pipeline_image_parity():
     img_on, id_on = render(True)
     np.testing.assert_array_equal(id_off != -1, id_on != -1)
     np.testing.assert_allclose(img_off, img_on, atol=2e-6)
+
+
+def test_reference_image_switch():
+    """The reference_image switch composites a low-res XLA-reference diff
+    heatmap (the reference_rt runtime A/B blit, reference_raytracer.rs:34-93).
+    With both paths healthy the heatmap stays silent: output == plain frame."""
+    cfg = PipelineConfig(width=64, height=64, tri_capacity=256, shading="pbr")
+    r = Renderer(small_scene(), cfg)
+    plain = np.asarray(r.render(cam())["image"])
+    r.set_config(reference_image=True)
+    r.apply_config_now()
+    ab = np.asarray(r.render(cam())["image"])
+    assert np.isfinite(ab).all()
+    # healthy paths agree -> almost no pixels tinted
+    tinted = (np.abs(ab - plain).max(axis=-1) > 1e-6).mean()
+    assert tinted < 0.02, f"{tinted:.3f} of pixels tinted on a healthy frame"
+    # a poisoned main image must light the heatmap up (the A/B catches it)
+    plan = r.plans.plan(r.config.as_dict())
+    names = [p.name for p in plan.passes]
+    assert "reference_view" in names

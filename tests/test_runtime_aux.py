@@ -351,3 +351,20 @@ def test_kernel_live_reload(tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
         sys.modules.pop("hot_shade", None)
+
+
+def test_pass_timings_diagnostic():
+    """pass_timings times every live pass individually and feeds the HUD
+    (the reference's per-system GPU timestamp panel, ecs.rs:293-409)."""
+    scene = base_scene()
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=256))
+    out = r.render(cam())
+    timings = r.pass_timings(cam(), iters=2)
+    plan = r.plans.plan(r.config.as_dict())
+    assert set(timings) == {p.name for p in plan.passes}
+    assert all(v >= 0.0 for v in timings.values())
+    hud = format_hud(r)
+    assert "pass timings" in hud and "SUM (unfused)" in hud
+    # diagnostic mode must not disturb the frame state: next render unchanged
+    out2 = r.render(cam())
+    assert np.asarray(out2["image"]).shape == np.asarray(out["image"]).shape

@@ -333,3 +333,102 @@ def test_point_light_cube_shadows_all_directions():
         assert reg.max() > 0.04, f"no shadow beyond the {name} box: {reg.max()}"
     # directly under the light (between the boxes) the floor stays lit
     assert abs(diff[cy - 3 : cy + 3, cx - 3 : cx + 3]).max() < 0.02
+
+
+def test_shadow_lod_picked_by_light_distance():
+    """A caster far from the CAMERA but near a point LIGHT must cast at fine
+    LOD (ref shadow_mapping.rs:462 picks caster LOD by light distance)."""
+    import jax
+
+    from renderer_tpu.ops import geometry
+    from renderer_tpu.ops.shadow import (
+        light_matrices_cube,
+        lod_by_distance,
+        render_shadow_atlas_per_light,
+    )
+    from renderer_tpu.scene.builder import HostMesh
+
+    box_m = primitives.box()
+    # LOD1 = a single triangle of the box: dramatic simplification
+    detailed = HostMesh(
+        positions=box_m.positions, normals=box_m.normals, uvs=box_m.uvs,
+        indices=box_m.indices, lods=[box_m.indices[:1]],
+    )
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    mesh = b.add_mesh(detailed)
+    mat = b.add_material(base_color=(0.8, 0.2, 0.2, 1))
+    b.add_instance(mesh, mat, translation=(0.0, 0.0, -400.0))
+    # point light right next to the caster; camera (see below) is 400 away
+    b.add_light(position=(2.5, 0.0, -400.0), intensity=40.0, shadow_slot=0)
+    scene = b.build()
+
+    cam = Camera.create(position=jnp.array([0.0, 0.0, 1.0]), near=0.1, far=1000.0)
+    prepared = jax.jit(geometry.prepare_frame_columns)(scene, cam)
+    model, lod_cam = prepared[0], prepared[4]
+    smin, smax = prepared[5], prepared[6]
+
+    # the camera pick demotes the far caster; the light pick keeps it fine
+    assert int(lod_cam[0]) >= 1  # demoted (clamped to the padded chain)
+    lod_light = jax.jit(lod_by_distance)(scene, model, scene.lights.position[0])
+    assert int(lod_light[0]) == 0
+
+    mats = light_matrices_cube(scene.lights, smin, smax)
+    atlas = jax.jit(
+        lambda s, m, mo, lo: render_shadow_atlas_per_light(
+            s, m, s.lights, mo, lo, 1, 64, 512
+        )
+    )(scene, mats, model, lod_cam)
+    # the full-detail box writes more covered texels than its 1-tri LOD would
+    covered = np.asarray((atlas[0] < 1.0).sum())
+    # move the light far away: the light pick goes coarse, coverage drops
+    far_lights = scene.lights._replace(
+        position=scene.lights.position.at[0].set(jnp.array([2.5, 0.0, 400.0]))
+    )
+    far_scene = scene._replace(lights=far_lights)
+    far_mats = light_matrices_cube(far_scene.lights, smin, smax)
+    atlas_far = jax.jit(
+        lambda s, m, mo, lo: render_shadow_atlas_per_light(
+            s, m, s.lights, mo, lo, 1, 64, 512
+        )
+    )(far_scene, far_mats, model, lod_cam)
+    covered_far = np.asarray((atlas_far[0] < 1.0).sum())
+    assert covered > 0
+    assert covered_far < covered
+
+
+def test_rt_grid_point_light():
+    """POINT lights trace through the same grid kernel per cube face
+    (homogeneous perspective formulation): the rt switch must agree with
+    the cube shadow maps on a point-lit scene (ref: ray query handles any
+    light from one TLAS, gltf_mesh.frag:136-160)."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=10.0))
+    box = b.add_mesh(primitives.box())
+    b.add_instance(plane, b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0))
+    b.add_instance(box, b.add_material(base_color=(0.8, 0.2, 0.2, 1)),
+                   translation=(0.0, 1.0, 0.0), scale=0.6)
+    b.add_light(position=(1.5, 4.0, 0.0), intensity=40.0, shadow_slot=0)
+    scene = b.build()
+    cfg = PipelineConfig(width=128, height=64, tri_capacity=512, shading="pbr",
+                         rt_scale=1, use_pallas=True, pallas_interpret=True,
+                         shadow_size=256)
+
+    def run(**switches):
+        r = Renderer(scene, cfg)
+        r.set_config(**switches)
+        r.apply_config_now()
+        return np.asarray(r.render(top_down_camera())["image"])
+
+    lit = run()
+    img_rt = run(rt=True)
+    img_sm = run(shadows=True)
+    drop_rt = (lit - img_rt).mean(axis=-1)
+    drop_sm = (lit - img_sm).mean(axis=-1)
+    # a real shadow appears, on the side away from the light (-x)
+    assert drop_rt.max() > 0.05, drop_rt.max()
+    ys, xs = np.where(drop_rt > 0.05)
+    assert xs.mean() < 64
+    # rt and cube shadow maps agree on most pixels (rt is exact; the map
+    # has finite resolution + bias, so edges differ)
+    agree = ((drop_rt > 0.03) == (drop_sm > 0.03)).mean()
+    assert agree > 0.94, f"point rt vs cube-map agreement {agree:.3f}"

@@ -11,10 +11,13 @@ def test_mip_chain():
     img = np.zeros((8, 8, 4), np.uint8)
     img[:, :4] = [255, 0, 0, 255]
     img[:, 4:] = [0, 0, 255, 255]
+    # the chain stops at 4x4 (packed-quad-table alignment; BC-block parity)
     mips = build_mips(img)
-    assert [m.shape[0] for m in mips] == [8, 4, 2, 1]
+    assert [m.shape[0] for m in mips] == [8, 4]
+    mips_full = build_mips(img, min_size=1)
+    assert [m.shape[0] for m in mips_full] == [8, 4, 2, 1]
     # last mip = average color
-    np.testing.assert_allclose(mips[-1][0, 0], [128, 0, 128, 255], atol=1)
+    np.testing.assert_allclose(mips_full[-1][0, 0], [128, 0, 128, 255], atol=1)
 
 
 def test_atlas_layout_and_fetch():
@@ -159,3 +162,25 @@ def test_streamed_texture_quad_rows_refresh():
     np.testing.assert_allclose(out[1], 200 / 255, atol=2e-2)
     np.testing.assert_allclose(out[0], 0.0, atol=2e-2)
     streamer.close()
+
+
+def test_quad_table_packing():
+    """QUAD_PACK texels share each physical 128-lane row: 4x less quad-table
+    memory (the BC7-tier analogue, scene_loader.rs:318-376) and the lane
+    select is bit-exact with the unpacked layout."""
+    from renderer_tpu.ops.texture import _gather_quad_row
+    from renderer_tpu.scene.textures import QUAD_COLS, QUAD_PACK
+
+    b = TextureAtlasBuilder(size=16)
+    rng = np.random.default_rng(7)
+    b.add(rng.integers(0, 255, (16, 16, 4), dtype=np.uint8).astype(np.uint8))
+    atlas = b.build()
+    assert atlas.quad_pack == QUAD_PACK == 4
+    total = atlas.packed_u32.shape[0]
+    assert atlas.quad_u32.shape == (total // 4, QUAD_COLS * 4)
+    # gather each texel's row through the packed layout and compare with a
+    # numpy unpack of the same table
+    flat = np.asarray(atlas.quad_u32).reshape(total, QUAD_COLS)
+    idx = jnp.asarray(rng.integers(0, total, (257,), dtype=np.int32))
+    rows = np.asarray(_gather_quad_row(atlas, idx))
+    np.testing.assert_array_equal(rows, flat[np.asarray(idx)])

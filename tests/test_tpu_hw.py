@@ -1,25 +1,65 @@
-"""Real-TPU (Mosaic) kernel tests — opt-in, run with RENDERER_TPU_TESTS=1.
+"""Real-TPU (Mosaic) kernel tests — auto-enabled when a TPU is present.
 
 The rest of the suite runs the Pallas kernels in interpret mode on a virtual
 CPU mesh (tests/conftest.py), which validates semantics but not Mosaic
-compilation or on-chip numerics. This test drives the flagship rasterizer on
-the actual TPU in a subprocess (the conftest pins this process to CPU, so a
-clean interpreter is required) and cross-checks against the interpret-mode
-result.
+compilation or on-chip numerics. These tests drive the kernels on the actual
+TPU in a subprocess (the conftest pins this process to CPU, so a clean
+interpreter is required) and cross-check against the interpret-mode result —
+so a Mosaic regression fails a TEST, not just the benchmark number.
+
+Gating: RENDERER_TPU_TESTS=1 forces on, =0 forces off; otherwise a one-shot
+subprocess probe asks whether jax sees a TPU.
 """
 
+import functools
 import os
 import subprocess
 import sys
 
 import pytest
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_present() -> bool:
+    forced = os.environ.get("RENDERER_TPU_TESTS")
+    if forced == "1":
+        return True
+    if forced == "0":
+        return False
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=180, env=_clean_env(),
+        )
+        return out.stdout.strip().splitlines()[-1] == "tpu"
+    except Exception:
+        return False
+
+
 pytestmark = pytest.mark.skipif(
-    os.environ.get("RENDERER_TPU_TESTS") != "1",
-    reason="set RENDERER_TPU_TESTS=1 to run on real TPU hardware",
+    not _tpu_present(),
+    reason="no TPU visible (set RENDERER_TPU_TESTS=1 to force)",
 )
 
-_SCRIPT = r"""
+
+def _run(script: str):
+    out = subprocess.run(
+        [sys.executable, "-c", script.replace("__REPO__", _REPO)],
+        capture_output=True, text=True, timeout=600, env=_clean_env(), cwd=_REPO,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "TPU_KERNEL_OK" in out.stdout, out.stdout + out.stderr
+
+
+_RASTER_SCRIPT = r"""
 import jax, jax.numpy as jnp, numpy as np, sys
 assert jax.devices()[0].platform == "tpu", jax.devices()
 sys.path.insert(0, "__REPO__")
@@ -50,12 +90,45 @@ print("TPU_KERNEL_OK", agree)
 
 
 def test_pallas_raster_on_real_tpu():
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    out = subprocess.run(
-        [sys.executable, "-c", _SCRIPT.replace("__REPO__", repo)],
-        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    _run(_RASTER_SCRIPT)
+
+
+# Full-frame Mosaic-vs-interpret cross-check with the shadow-atlas kernel
+# (shadows switch) and the rt_grid traversal kernel (rt switch) live.
+_FRAME_SCRIPT = r"""
+import dataclasses, jax, jax.numpy as jnp, numpy as np, sys
+assert jax.devices()[0].platform == "tpu", jax.devices()
+sys.path.insert(0, "__REPO__")
+from renderer_tpu.mathx.camera import Camera
+from renderer_tpu.models import textured_scene
+from renderer_tpu.passes.pipeline import PipelineConfig
+from renderer_tpu.runtime import Renderer
+from renderer_tpu.scene import SceneLimits
+
+scene = textured_scene(SceneLimits.tiny(), atlas_size=16)
+cam = Camera.create(position=jnp.array([0.0, 1.2, 4.0]), fov_y=0.9, near=0.1, far=60.0)
+
+def frame(interpret, **switches):
+    cfg = PipelineConfig(
+        width=256, height=64, tri_capacity=1024, shading="pbr",
+        use_pallas=True, pallas_interpret=interpret,
+        shadow_slots=2, shadow_size=128, rt_scale=1,
     )
-    assert out.returncode == 0, out.stdout + out.stderr
-    assert "TPU_KERNEL_OK" in out.stdout
+    r = Renderer(scene, cfg, outputs=("image",))
+    r.set_config(**switches)
+    r.apply_config_now()
+    return np.asarray(r.render(cam)["image"])
+
+for switches in ({"shadows": True}, {"rt": True}):
+    hw = frame(False, **switches)
+    it = frame(True, **switches)
+    err = np.abs(hw - it).max()
+    mse = float(np.mean((hw - it) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, f"{switches}: Mosaic vs interpret PSNR {psnr:.1f} (maxerr {err})"
+print("TPU_KERNEL_OK frame")
+"""
+
+
+def test_pallas_frame_shadow_rt_on_real_tpu():
+    _run(_FRAME_SCRIPT)

@@ -150,7 +150,7 @@ def main(argv=None):
             spmd_devices=max(args.spmd, 1),
             pallas_interpret=(args.pallas and jax.devices()[0].platform != "tpu"),
         ),
-        outputs=("image", "vis", "soup") if args.hud else ("image", "vis"),
+        outputs=("image", "vis", "soup", "prepared") if args.hud else ("image", "vis"),
         spmd_mesh=spmd_mesh,
     )
     renderer.set_config(
@@ -207,6 +207,7 @@ def main(argv=None):
         text = format_hud(
             renderer, extra={"coverage": f"{covered:.1%}"},
             soup=out.get("soup") if args.pallas else None,
+            prepared=out.get("prepared"),
         )
         print(text)
         # burn the HUD into the frame (the imgui pass, ref renderer.rs:1799+)

@@ -572,6 +572,24 @@ def _cluster_slot_map(
     return owner, tri_idx, valid
 
 
+def cluster_budget_overflow(
+    scene: Scene, visible: jnp.ndarray, lod: jnp.ndarray, expand_capacity: int
+) -> jnp.ndarray:
+    """() i32 — clusters beyond _cluster_slot_map's pre-cull budget this
+    frame (the 2x-headroom list; overflow silently drops visible geometry,
+    so the HUD surfaces it like the raster bin-overflow counter). Scenes
+    dominated by nearly-empty clusters can exhaust the cluster budget long
+    before the triangle budget."""
+    from renderer_tpu.scene.types import CLUSTER
+
+    inst = scene.instances
+    lib = scene.meshes
+    tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
+    ci = (tc + CLUSTER - 1) // CLUSTER
+    budget = 2 * (expand_capacity // CLUSTER)
+    return jnp.maximum(jnp.sum(ci) - budget, 0)
+
+
 def prepare_frame_columns(scene: Scene, camera: Camera):
     """The whole prepare stage (model matrices, clip matrices, coarse cull,
     LOD select, scene bounds) in flat column math.

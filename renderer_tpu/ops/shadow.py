@@ -152,6 +152,55 @@ def lod_by_distance(scene, model: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarra
     return jnp.clip(lod, 0, lib.lod_tri_count.shape[1] - 1).astype(jnp.int32)
 
 
+def shadow_caster_truncation(
+    scene,
+    model: jnp.ndarray,
+    lod: jnp.ndarray,
+    light_mats: jnp.ndarray,  # (L, 6, 4, 4) from light_matrices_cube
+    n_slots: int,
+    caster_capacity: int,
+) -> jnp.ndarray:
+    """(n_slots,) i32 — shadow casters DROPPED per slot this frame.
+
+    expand_clip_only silently clamps each light's caster stream at
+    caster_capacity; a dropped off-camera caster shows up only as a missing
+    shadow, so the HUD surfaces the per-slot deficit (the same
+    observability contract as the raster bin-overflow counter). Point
+    lights report their worst face."""
+    from renderer_tpu.ops.geometry import coarse_cull
+
+    lights = scene.lights
+    inst = scene.instances
+    lib = scene.meshes
+
+    def demand(visible, lod_pick):
+        tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod_pick], 0)
+        return jnp.sum(tc)
+
+    out = []
+    for slot in range(n_slots):
+        match = (lights.shadow_slot == slot) & lights.alive
+        li = jnp.argmax(match)
+        active = jnp.any(match)
+        is_point = active & ~lights.directional[li]
+
+        def directional(_):
+            vis = coarse_cull(scene, model, light_mats[li, 0]) & active
+            return demand(vis, lod)
+
+        def point(_):
+            lod_l = lod_by_distance(scene, model, lights.position[li])
+            worst = jnp.int32(0)
+            for f in range(6):
+                vis = coarse_cull(scene, model, light_mats[li, f]) & active
+                worst = jnp.maximum(worst, demand(vis, lod_l))
+            return worst
+
+        d = jax.lax.cond(is_point, point, directional, operand=None)
+        out.append(jnp.maximum(d - caster_capacity, 0))
+    return jnp.stack(out)
+
+
 def render_shadow_atlas_per_light(
     scene,
     light_mats: jnp.ndarray,  # (L, 6, 4, 4) from light_matrices_cube

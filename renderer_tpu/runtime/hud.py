@@ -18,6 +18,7 @@ def format_hud(
     streamer=None,
     extra: dict = None,
     soup=None,  # last frame's TriangleSoup: adds raster bin-overflow stats
+    prepared=None,  # last frame's prepare tuple: adds capacity-overflow stats
 ) -> str:
     lines = ["=== renderer_tpu HUD ==="]
     lines.append(
@@ -66,6 +67,37 @@ def format_hud(
         lines.append(
             f"raster bins: {'OK' if n == 0 else f'{n} tiles OVERFLOWED (walk-all fallback)'}"
         )
+    if prepared is not None:
+        model, lod, visible = prepared[0], prepared[4], prepared[3]
+        cfg = renderer.cfg
+        if renderer.config.shadows:
+            from renderer_tpu.ops.shadow import (
+                light_matrices_cube,
+                shadow_caster_truncation,
+            )
+
+            mats = light_matrices_cube(
+                renderer.scene.lights, prepared[5], prepared[6]
+            )
+            trunc = shadow_caster_truncation(
+                renderer.scene, model, lod, mats, cfg.shadow_slots,
+                cfg.shadow_tri_capacity or cfg.tri_capacity,
+            )
+            t = [int(x) for x in trunc]
+            lines.append(
+                "shadow casters: "
+                + ("OK" if not any(t) else f"DROPPED per slot {t} (raise shadow_tri_capacity)")
+            )
+        if cfg.cluster_cull and renderer.scene.meshes.cluster_data is not None:
+            from renderer_tpu.ops.geometry import cluster_budget_overflow
+
+            ov = int(cluster_budget_overflow(
+                renderer.scene, visible, lod, 2 * cfg.tri_capacity
+            ))
+            lines.append(
+                "cluster budget: "
+                + ("OK" if ov == 0 else f"{ov} clusters OVER (geometry dropped)")
+            )
     pass_ms = renderer.stats.get("pass_ms")
     if pass_ms:
         lines.append("pass timings (device, diagnostic — see pass_timings()):")

@@ -215,6 +215,10 @@ class SceneStreamer:
         # arena blocks freed two pumps after their upload was issued (the
         # deferred staging destruction of the reference, scene_loader.rs)
         self._deferred_free: list[list[np.ndarray]] = [[], []]
+        # texture layer slots: bump allocation from the scene's committed
+        # count, with a free list so released layers recycle
+        self._next_tex_layer = int(np.asarray(scene.atlas.n_layers))
+        self._free_tex_layers: list[int] = []
         self.stats = {"requested": 0, "decoded": 0, "uploaded": 0, "frames": 0,
                       "chunks": 0}
 
@@ -393,12 +397,16 @@ class SceneStreamer:
         sizes = np.asarray(atlas.level_size)
         per_layer = int((sizes.astype(np.int64) ** 2).sum())
         n_layers = n_total // per_layer
-        if not hasattr(self, "_next_tex_layer"):
-            self._next_tex_layer = int(np.asarray(atlas.n_layers))
-        layer = self._next_tex_layer
-        if layer >= n_layers:
-            raise MemoryError("atlas layer slots exhausted during streaming")
-        self._next_tex_layer += 1
+        if self._free_tex_layers:
+            layer = self._free_tex_layers.pop()
+        else:
+            layer = self._next_tex_layer
+            if layer >= n_layers:
+                raise MemoryError(
+                    f"atlas layer slots exhausted during streaming "
+                    f"({n_layers} total; release_texture recycles slots)"
+                )
+            self._next_tex_layer += 1
         self.stats["requested"] += 1
 
         def decode():
@@ -425,6 +433,18 @@ class SceneStreamer:
 
         self._pending.append(self._pool.submit(decode))
         return layer
+
+    def release_texture(self, layer: int) -> None:
+        """Return a streamed layer's slot to the free list (the descriptor-
+        slot recycle of the reference's bindless arrays). The caller must
+        stop referencing the layer in materials first; the texels stay
+        until a new request overwrites them."""
+        committed = int(np.asarray(self.scene.atlas.n_layers))
+        if layer < committed or layer >= self._next_tex_layer:
+            raise ValueError(f"layer {layer} was not streamed by this streamer")
+        if layer in self._free_tex_layers:
+            raise ValueError(f"layer {layer} already released")
+        self._free_tex_layers.append(layer)
 
     def _upload_texture(self, layer: int, words: list) -> None:
         atlas = self.scene.atlas

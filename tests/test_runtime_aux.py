@@ -368,3 +368,69 @@ def test_pass_timings_diagnostic():
     # diagnostic mode must not disturb the frame state: next render unchanged
     out2 = r.render(cam())
     assert np.asarray(out2["image"]).shape == np.asarray(out["image"]).shape
+
+
+def test_hud_capacity_overflow_counters():
+    """Caster truncation and cluster-budget overflow surface in the HUD
+    (silent capacity clamps otherwise show up only as missing geometry)."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.ops import geometry
+    from renderer_tpu.ops.shadow import light_matrices_cube, shadow_caster_truncation
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    b = SceneBuilder(SceneLimits.tiny())
+    sph = b.add_mesh(primitives.uv_sphere(rings=8, sectors=12))
+    m = b.add_material()
+    for i in range(4):
+        b.add_instance(sph, m, translation=(i * 2.0 - 3.0, 0, 0))
+    b.add_light(position=(0.0, -1.0, 0.0), directional=True, shadow_slot=0)
+    scene = b.build()
+    prepared = geometry.prepare_frame_columns(scene, cam())
+    model, lod = prepared[0], prepared[4]
+    mats = light_matrices_cube(scene.lights, prepared[5], prepared[6])
+
+    # plenty of capacity: no truncation; capacity 64: casters dropped
+    ok = shadow_caster_truncation(scene, model, lod, mats, 1, 1 << 16)
+    assert int(ok[0]) == 0
+    bad = shadow_caster_truncation(scene, model, lod, mats, 1, 64)
+    assert int(bad[0]) > 0
+
+    vis = jnp.ones((scene.instances.mesh_id.shape[0],), bool)
+    assert int(geometry.cluster_budget_overflow(scene, vis, lod, 1 << 14)) == 0
+    assert int(geometry.cluster_budget_overflow(scene, vis, lod, 64)) > 0
+
+    # HUD renders the counters when shadows are on and prepared is passed
+    r = Renderer(scene, PipelineConfig(width=64, height=64, tri_capacity=256),
+                 outputs=("image", "prepared"))
+    r.set_config(shadows=True)
+    r.apply_config_now()
+    out = r.render(cam())
+    hud = format_hud(r, prepared=out["prepared"])
+    assert "shadow casters" in hud
+
+
+def test_texture_layer_recycling():
+    """Released streamed-texture layers recycle through a free list, and
+    exhaustion raises a clean MemoryError naming the remedy."""
+    import time as _t
+
+    from renderer_tpu.runtime.streaming import SceneStreamer
+    from renderer_tpu.scene import SceneBuilder, SceneLimits, primitives
+
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=8)
+    pl = b.add_mesh(primitives.plane())
+    b.add_instance(pl, b.add_material())
+    scene = b.build(texture_slots=2)
+    s = SceneStreamer(scene, budget=4)
+    img = np.zeros((8, 8, 4), np.uint8)
+    l0 = s.request_texture(img)
+    l1 = s.request_texture(img)
+    assert l0 != l1
+    with pytest.raises(MemoryError, match="release_texture"):
+        s.request_texture(img)
+    s.release_texture(l0)
+    assert s.request_texture(img) == l0  # recycled
+    with pytest.raises(ValueError):
+        s.release_texture(999)
+    s.close()

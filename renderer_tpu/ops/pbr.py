@@ -89,6 +89,7 @@ def shade_pbr(
     # + light-space-binned Pallas traversal; replaces `rt` when set
     rt_grid=None,
     bary_from_records: bool = False,  # derive b0..b2 from SR_EDGE coefficients
+    _upto: str = None,  # diagnostic DCE prefix: "gather"|"interp"|"tex"
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
         SR_BASE,
@@ -142,6 +143,9 @@ def shade_pbr(
     def interp(c0, c1, c2):
         return b0 * col(c0) + b1 * col(c1) + b2 * col(c2)
 
+    if _upto == "gather":  # records gather + bary + unproject only
+        return jnp.sum(rows[..., 0]) + jnp.sum(b0) + jnp.sum(world)
+
     n_geom = _normalize_cf(
         jnp.stack([interp(SR_NORMAL + c, SR_NORMAL + 3 + c, SR_NORMAL + 6 + c) for c in range(3)], 0)
     )
@@ -160,11 +164,21 @@ def shade_pbr(
     bc_layer = col(SR_BC_LAYER).astype(jnp.int32)
     nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
 
+    if _upto == "interp":  # + all attribute interpolation, no texturing
+        return (
+            jnp.sum(n_geom) + jnp.sum(u) + jnp.sum(v_) + jnp.sum(tangent)
+            + jnp.sum(base_factor) + jnp.sum(metallic) + jnp.sum(roughness)
+            + jnp.sum(emissive) + jnp.sum(bc_layer) + jnp.sum(tex_lod)
+        )
+
     if enable_textures:
         bc = sample_atlas_cf(scene.atlas, bc_layer, u, v_, tex_lod, trilinear=trilinear)
         albedo = base_factor * srgb_to_linear(bc[0:3])
     else:
         albedo = base_factor
+
+    if _upto == "tex":  # + base-color texture sampling
+        return jnp.sum(albedo)
 
     if enable_textures and enable_normal_maps:
         t = tangent

@@ -61,12 +61,20 @@ def main():
             vis, rec, scene, cam.position, viewproj_inv=prepared[7],
             enable_textures=True, enable_normal_maps=False, trilinear=False,
             bary_from_records=True,
+            _upto=upto[1:] if upto.startswith("s") else None,
         )
         return jnp.sum(img)
 
     which = sys.argv[1] if len(sys.argv) > 1 else "grf"
     results = {}
-    for tag, name in (("g", "geo"), ("r", "raster"), ("f", "full")):
+    stages = (
+        ("g", "geo"), ("r", "raster"),
+        # shade internals (pbr.py _upto): records-gather / attr-interp /
+        # +texture-sampling prefixes
+        ("1", "sgather"), ("2", "sinterp"), ("3", "stex"),
+        ("f", "full"),
+    )
+    for tag, name in stages:
         if tag in which:
             f = jax.jit(lambda s, c, u=name: frame(s, c, u))
             t0 = time.perf_counter()
@@ -77,6 +85,24 @@ def main():
         print(f"=> geometry+prepare {results['geo']:.1f}  "
               f"raster {results['raster']-results['geo']:.1f}  "
               f"shade {results['full']-results['raster']:.1f}", flush=True)
+    if "b" in which:  # the real Renderer loop (adds present/host tail)
+        from renderer_tpu.passes.pipeline import PipelineConfig
+        from renderer_tpu.runtime import Renderer
+
+        cfg = PipelineConfig(
+            width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
+            use_pallas=True, shading="pbr", enable_normal_maps=False,
+            trilinear=False,
+        )
+        r = Renderer(scene, cfg, outputs=("image",))
+        cams = [make_camera(0.3 + 0.01 * k) for k in range(30)]
+        jax.block_until_ready(r.render(cams[0])["image"])
+        t0 = time.perf_counter()
+        for c in cams:
+            out = r.render(c)
+        jax.block_until_ready(out["image"])
+        print(f"renderer loop {(time.perf_counter()-t0)/30*1e3:8.2f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

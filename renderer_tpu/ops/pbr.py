@@ -115,7 +115,9 @@ def shade_pbr(
     )  # (3, H, W)
 
     # THE gather: one contiguous 512-byte row per pixel; (H, W, 128) is
-    # exactly (8,128)-tile aligned
+    # exactly (8,128)-tile aligned. (A used-column-prefix slice here was
+    # measured a no-op: XLA re-layouts the full gather output regardless,
+    # and (8,128) lane padding means narrower tables cost the same.)
     rows = shade_rec[safe_id]  # (H, W, 128)
     col = lambda c: rows[..., c]  # (H, W) plane, clean lane slice
     if bary_from_records:

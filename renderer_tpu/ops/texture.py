@@ -75,24 +75,31 @@ def _bilinear(atlas: TextureAtlas, level, layer, u, v):
     )
 
 
-def _gather_quad_row(atlas, idx):
+def _gather_quad_row(atlas, idx, ncols=None):
     """One texel's QUAD_COLS row from the packed quad table.
 
     QUAD_PACK texels share each physical 128-lane row (scene/textures.py):
     gather the shared row (gathers are index-rate-bound, so a fuller row
     costs the same), then a log2(pack)-deep lane-select tree picks this
     texel's 16-column slice. Measured on v5e at 2M samples: pack=4 is ~2x
-    FASTER than the padded (N, 16) layout at 1/4 the memory."""
+    FASTER than the padded (N, 16) layout at 1/4 the memory.
+
+    ncols: only the first ncols of the texel's row are selected/returned —
+    bilinear-only sampling needs just the 4 quad words, which shrinks the
+    select tree and the channel-major re-layout copy of the gather output
+    (measured 2.4 ms/frame for the full-width copy at 1080p)."""
     from renderer_tpu.scene.textures import QUAD_COLS
 
+    if ncols is None:
+        ncols = QUAD_COLS
     pack = atlas.quad_pack
     if pack == 1:
-        return atlas.quad_u32[idx]
+        return atlas.quad_u32[idx][..., :ncols]
     shift = pack.bit_length() - 1
     rows = atlas.quad_u32[idx >> shift]  # (..., QUAD_COLS * pack)
     sub = idx & (pack - 1)
     chunks = [
-        rows[..., QUAD_COLS * k : QUAD_COLS * (k + 1)] for k in range(pack)
+        rows[..., QUAD_COLS * k : QUAD_COLS * k + ncols] for k in range(pack)
     ]
     bit = 1
     while len(chunks) > 1:
@@ -131,7 +138,10 @@ def _sample_quad_cf(atlas, layer, u, v, lod, trilinear):
     x0 = x0f.astype(jnp.int32) & m
     y0 = y0f.astype(jnp.int32) & m
     idx = off + (safe_layer * size + y0) * size + x0
-    rows = _gather_quad_row(atlas, idx)  # (..., QUAD_COLS) — THE gather
+    want_tri = trilinear and n_levels > 1
+    rows = _gather_quad_row(
+        atlas, idx, ncols=None if want_tri else 4
+    )  # (..., QUAD_COLS or 4) — THE gather
 
     def unpack(word):
         return jnp.stack(

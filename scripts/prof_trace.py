@@ -33,6 +33,12 @@ def main():
     r = Renderer(scene, cfg, outputs=("image",))
     cams = [make_camera(0.3 + 0.01 * k) for k in range(8)]
     jax.block_until_ready(r.render(cams[0])["image"])  # compile
+    t0 = time.perf_counter()
+    out = None
+    for c in cams + cams:
+        out = r.render(c)
+    jax.block_until_ready(out["image"])
+    print(f"frame {((time.perf_counter()-t0)/16)*1e3:.2f} ms", flush=True)
 
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/rt_trace"
     with jax.profiler.trace(logdir):
@@ -42,28 +48,29 @@ def main():
         jax.block_until_ready(out["image"])
     print("trace captured", flush=True)
 
-    paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
-    print("xplane files:", paths, flush=True)
+    # parse the chrome-trace json directly (the tensorboard profile plugin's
+    # proto stubs are incompatible with the installed protobuf)
+    import collections
+    import gzip
+
+    paths = sorted(
+        glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+    )
+    print("trace files:", paths, flush=True)
     if not paths:
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "hlo_stats", {}
-    )
-    out_path = os.path.join(logdir, "hlo_stats.json")
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    with open(out_path, "w") as f:
-        f.write(data)
-    print("wrote", out_path, flush=True)
-    # quick textual top-20 by self-time if the payload is JSON
-    try:
-        j = json.loads(data)
-        rows = j if isinstance(j, list) else j.get("data", [])
-        print("top rows:", rows[:3], flush=True)
-    except Exception as e:  # formats vary by plugin version; file has it all
-        print("non-json payload (see file):", type(data), e, flush=True)
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e:
+            tot[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    print("--- top 40 by total time over 8 frames ---", flush=True)
+    for name, us in tot.most_common(40):
+        print(f"{us/8/1000:9.3f} ms/frame x{cnt[name]:4d}  {name[:100]}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -203,7 +203,7 @@ def expand_draw_stream(
         n = scene.instances.mesh_id.shape[0]
         rec = lib.tri_rec[tri_idx]
         mm = clip_mats.reshape(n, 16)[owner]
-        clip = jnp.stack(_clip_cols(rec, mm), axis=-1).reshape(capacity, 3, 4)
+        clip = _clip_mat(rec, mm)
     else:
         pos = lib.positions[vidx]  # (T, 3, 3)
         m_clip = clip_mats[owner]  # (T, 4, 4)
@@ -385,44 +385,82 @@ def expand_cull_sort_two_phase(
 # 41 -> 21 ms.
 
 
-def _clip_mat(rec: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
-    """(E, 3, 4) clip positions from tri records (E, 36) and flat
-    per-triangle clip matrices (E, 16), via ONE batched dot_general.
+def _t_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """(E, k) -> (k, E) via a TRANSPOSING identity dot_general — the layout
+    firewall for gathered tables.
 
-    Formulation matters enormously here (all measured at E=262k on v5e,
-    gather -> clip math -> cull+morton-key consumers):
-    - `rec.T` column math: 18.4 ms — XLA sinks the transposed layout INTO
-      the upstream gather, whose writes then go strided (and
+    Formulation history (all measured at E=262k on v5e, gather -> clip math
+    -> cull+morton-key consumers):
+    - naked `.T` column math: 18.4 ms — XLA sinks the transposed layout
+      INTO the upstream gather, whose writes then go strided (and
       optimization_barrier does NOT stop layout propagation);
     - Pallas-copy layout firewall + column math: 5.2 ms at runtime, but
-      scatter+cummax -> gather -> pallas makes XLA's compile PATHOLOGICAL
+      scatter+cummax -> gather -> pallas made XLA's compile PATHOLOGICAL
       (>20 min for the frame) — rejected;
-    - batched dot_general + `.T` of the DOT output: 10.4 ms and compiles
-      normally. The dot pins its operand layouts, so the gather keeps
-      row-major writes; the MXU eats the tiny matmuls."""
+    - batched 3D dot_general per consumer: compiled normally but dragged
+      ~12 ms/frame of T(4,128) relayout reshapes + output copies + small
+      batched matmuls (device-trace accounting, PERF.md round-3);
+    - THIS: one I_k contraction per gathered table. A dot pins its
+      operands' layouts, so the gather keeps row-major writes; the
+      transpose happens ON the MXU (128-padded: ~0.2 ms at 262k x 36); the
+      (k, E) row-major output makes every column read a free contiguous
+      row. Exact: each output element is value * 1.0 plus zeros, f32 with
+      pinned precision."""
+    k = x.shape[1]
+    eye = jnp.eye(k, dtype=jnp.float32)
+    return jax.lax.dot_general(
+        eye, x, (((1,), (1,)), ((), ())), precision="highest"
+    )
+
+
+def _rows_from_cols(cols: list) -> jnp.ndarray:
+    """[(E,) x k] columns -> (E, k) row-major block, via stack-as-rows plus
+    a transposing identity dot (the reverse of _t_cols).
+
+    Stacking columns directly on axis=-1 materializes k lane-padded (E, 1)
+    pieces — each is PHYSICALLY (E, 128) under the (8,128) tiling. Stacking
+    on axis=0 is k contiguous unpadded row writes; the MXU transposes the
+    (k, E) result back in ~0.1 ms."""
+    c = jnp.stack(cols, axis=0)  # (k, E), contiguous rows
+    k = c.shape[0]
+    eye = jnp.eye(k, dtype=jnp.float32)
+    return jax.lax.dot_general(
+        c, eye, (((0,), (0,)), ((), ())), precision="highest"
+    )  # (E, k)
+
+
+def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray, rt=None, mt=None) -> list:
+    """12 clip columns [c0:x,y,z,w, c1:..., c2:...] from tri records
+    (E, 36) and flat per-triangle clip matrices (E, 16): transposing-dot
+    firewalls (see _t_cols) + pure column FMAs (identical f32 op order for
+    every caller, so phase A and phase B stay bit-identical).
+
+    rt/mt: pre-transposed (36, E)/(16, E) tables when the caller already
+    built them (phase B reuses the record table for normals/uvs)."""
     from renderer_tpu.scene.types import TR_POS
 
-    e = rec.shape[0]
-    posh = jnp.concatenate(
-        [
-            rec[:, TR_POS : TR_POS + 9].reshape(e, 3, 3),
-            jnp.ones((e, 3, 1), jnp.float32),
-        ],
-        axis=-1,
-    )
-    return jax.lax.dot_general(
-        posh, mm.reshape(e, 4, 4),
-        (((2,), (2,)), ((0,), (0,))), precision="highest",
-    )  # (E, 3 corners, 4 xyzw)
+    if rt is None:
+        rt = _t_cols(rec)
+    if mt is None:
+        mt = _t_cols(mm)
+    cols = []
+    for c in range(3):
+        x = rt[TR_POS + 3 * c]
+        y = rt[TR_POS + 3 * c + 1]
+        z = rt[TR_POS + 3 * c + 2]
+        for j in range(4):
+            cols.append(
+                x * mt[4 * j] + y * mt[4 * j + 1] + z * mt[4 * j + 2]
+                + mt[4 * j + 3]
+            )
+    return cols
 
 
-def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray) -> list:
-    """12 clip columns [c0:x,y,z,w, c1:..., c2:...] — row reads of the
-    reshaped _clip_mat output ((E, 12).T of a dot is layout-safe; see
-    _clip_mat)."""
+def _clip_mat(rec: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
+    """(E, 3, 4) clip positions — row-major block of _clip_cols for
+    consumers that need the per-triangle matrix form (raster setup)."""
     e = rec.shape[0]
-    ct = _clip_mat(rec, mm).reshape(e, 12).T  # (12, E)
-    return [ct[i] for i in range(12)]
+    return _rows_from_cols(_clip_cols(rec, mm)).reshape(e, 3, 4)
 
 
 def _slot_map_counts(counts, base_i, capacity: int):
@@ -706,7 +744,7 @@ def expand_clip_only(
     if lib.tri_rec is not None:
         rec = lib.tri_rec[tri_idx]
         mm = clip_mats.reshape(n, 16)[owner]
-        clip = jnp.stack(_clip_cols(rec, mm), axis=-1).reshape(capacity, 3, 4)
+        clip = _clip_mat(rec, mm)
     else:
         vidx = lib.indices[tri_idx]
         pos = lib.positions[vidx]
@@ -828,37 +866,38 @@ def build_draw_stream(
     tri_s = tri_idx[perm]
     rec_s = lib.tri_rec[tri_s]  # (T, 36)
     # recompute survivor clip from the same inputs with the same op order
-    # (bit-identical with phase A; avoids materializing + permuting a lane-
-    # padded (E, 12) intermediate)
+    # (bit-identical with phase A). ONE transposing dot per gathered table
+    # (_t_cols) firewalls the layouts; everything downstream is column FMAs
+    # on free contiguous rows — the batched-3D-dot formulation this
+    # replaces cost ~12 ms/frame in relayout reshapes + copies + small
+    # matmuls (device-trace accounting, PERF.md round-3).
     t_out = out_capacity
-    cm_s = _clip_mat(rec_s, clip_mats.reshape(n, 16)[owner_s])  # (T, 3, 4)
-    ccs_t = cm_s.reshape(t_out, 12).T  # layout-safe: .T of a dot output
-    ccs = [ccs_t[i] for i in range(12)]
-    # normal/tangent rotation by the model linear part: batched dot_general
-    # on the MXU (column math over `.T` of the gathered tables makes the
-    # gathers write strided — see _clip_mat)
-    model_s = model.reshape(n, 16)[owner_s].reshape(t_out, 4, 4)
-    lin_s = model_s[:, :3, :3]
-    nrm3 = rec_s[:, TR_NRM : TR_NRM + 9].reshape(t_out, 3, 3)
-    wn = jax.lax.dot_general(
-        nrm3, lin_s, (((2,), (2,)), ((0,), (0,))), precision="highest"
-    )  # (T, 3 corners, 3 xyz)
-    tan4 = rec_s[:, TR_TAN : TR_TAN + 12].reshape(t_out, 3, 4)
-    wt = jax.lax.dot_general(
-        tan4[:, :, :3], lin_s, (((2,), (2,)), ((0,), (0,))), precision="highest"
-    )
-    # uv + tangent-handedness columns via a selector dot (exact: rows of the
-    # identity; keeps the rec_s gather row-major like every other consumer)
-    sel = np.zeros((rec_s.shape[1], 9), np.float32)
-    for k in range(6):
-        sel[TR_UV + k, k] = 1.0
-    for c in range(3):
-        sel[TR_TAN + 4 * c + 3, 6 + c] = 1.0
-    uvtw = rec_s @ jnp.asarray(sel)  # (T, 9) = [uv x6, tan_w x3]
-    uvt = uvtw.T
-    uv_cols = [uvt[k] for k in range(6)]
-    uv_blk = uvtw[:, :6]
-    tan_blk = jnp.concatenate([wt, uvtw[:, 6:9, None]], axis=-1).reshape(t_out, 12)
+    mm_s = clip_mats.reshape(n, 16)[owner_s]  # (T, 16)
+    rts = _t_cols(rec_s)  # (36, T): positions, normals, uvs, tangents
+    mts_clip = _t_cols(mm_s)  # (16, T)
+    ccs = _clip_cols(rec_s, mm_s, rt=rts, mt=mts_clip)
+    cm_s = _rows_from_cols(ccs).reshape(t_out, 3, 4)  # soup clip
+    # normal/tangent rotation by the model linear part, column form:
+    # w[c][j] = sum_k v[3c+k] * lin[j][k], lin[j][k] = model_row[4j+k]
+    mts = _t_cols(model.reshape(n, 16)[owner_s])  # (16, T)
+
+    def rot_cols(base, stride):
+        return [
+            rts[base + stride * c] * mts[4 * j]
+            + rts[base + stride * c + 1] * mts[4 * j + 1]
+            + rts[base + stride * c + 2] * mts[4 * j + 2]
+            for c in range(3)
+            for j in range(3)
+        ]
+
+    wn_cols = rot_cols(TR_NRM, 3)  # [c0.xyz, c1.xyz, c2.xyz]
+    wt_cols = rot_cols(TR_TAN, 4)
+    uv_cols = [rts[TR_UV + k] for k in range(6)]
+    tan_cols = [
+        wt_cols[3 * c + j] if j < 3 else rts[TR_TAN + 4 * c + 3]
+        for c in range(3)
+        for j in range(4)
+    ]  # [xyz w] x3
 
     # per-triangle texture LOD (same formula as finalize_tex_lod)
     sw = [jnp.where(jnp.abs(ccs[4 * c + 3]) > 1e-9, ccs[4 * c + 3], 1e-9)
@@ -919,15 +958,21 @@ def build_draw_stream(
         + cross_cols(uvec[0], uvec[1])
     )
 
+    # columns -> row-major blocks for the record concat (stack-as-rows +
+    # MXU transpose; see _rows_from_cols)
+    wn_blk = _rows_from_cols(wn_cols)  # (T, 9)
+    uv_blk = _rows_from_cols(uv_cols)  # (T, 6)
+    tan_blk = _rows_from_cols(tan_cols)  # (T, 12)
+
     srec = jnp.concatenate(
         [
-            wn.reshape(t_out, 9),
+            wn_blk,
             uv_blk,
             tan_blk,
             tex_lod[:, None],
             owner_s.astype(jnp.float32)[:, None],
             mat,
-            jnp.stack(edge_cols, axis=-1),
+            _rows_from_cols(edge_cols),
         ],
         axis=-1,
     )  # (T, 49) in SR_* order
@@ -938,7 +983,7 @@ def build_draw_stream(
 
     clip = cm_s
     if want_soup_attrs:
-        normal = wn
+        normal = wn_blk.reshape(out_capacity, 3, 3)
         uv = uv_blk.reshape(out_capacity, 3, 2)
         tangent = tan_blk.reshape(out_capacity, 3, 4)
     else:

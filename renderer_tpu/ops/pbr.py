@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from renderer_tpu.ops.raster_jax import VisibilityBuffer
 from renderer_tpu.ops.raster_spec import NO_TRIANGLE
@@ -114,12 +115,23 @@ def shade_pbr(
         vis.depth, viewproj_inv, w_, h_, y0=y0, full_height=full_height
     )  # (3, H, W)
 
-    # THE gather: one contiguous 512-byte row per pixel; (H, W, 128) is
-    # exactly (8,128)-tile aligned. (A used-column-prefix slice here was
-    # measured a no-op: XLA re-layouts the full gather output regardless,
-    # and (8,128) lane padding means narrower tables cost the same.)
-    rows = shade_rec[safe_id]  # (H, W, 128)
-    col = lambda c: rows[..., c]  # (H, W) plane, clean lane slice
+    # THE gather: one contiguous 512-byte row per pixel, then ONE
+    # transposing selector dot (rows of the identity, exact f32) to a
+    # (49, P) column table. The dot pins the gather's row-major layout
+    # (same firewall as geometry._t_cols) and every later column read is a
+    # free contiguous row instead of a lane-strided slice of the 1 GB
+    # (H, W, 128) block — each consumer fusion re-scanned that whole block
+    # before (~8 ms/frame at 1080p, PERF.md round-3).
+    n_used = SR_EDGE + 9  # 0..48: every defined record column
+    p_ = h_ * w_
+    rows = shade_rec[safe_id.reshape(p_)]  # (P, 128) row-major gather
+    sel = np.zeros((n_used, shade_rec.shape[-1]), np.float32)
+    sel[np.arange(n_used), np.arange(n_used)] = 1.0
+    cols_t = jax.lax.dot_general(
+        jnp.asarray(sel), rows, (((1,), (1,)), ((), ())),
+        precision="highest",
+    )  # (49, P)
+    col = lambda c: cols_t[c].reshape(h_, w_)
     if bary_from_records:
         # visibility-buffer style: evaluate the winner's edge functions at
         # the pixel center (same expression the rasterizer used); the raster
@@ -146,7 +158,7 @@ def shade_pbr(
         return b0 * col(c0) + b1 * col(c1) + b2 * col(c2)
 
     if _upto == "gather":  # records gather + bary + unproject only
-        return jnp.sum(rows[..., 0]) + jnp.sum(b0) + jnp.sum(world)
+        return jnp.sum(cols_t[0]) + jnp.sum(b0) + jnp.sum(world)
 
     n_geom = _normalize_cf(
         jnp.stack([interp(SR_NORMAL + c, SR_NORMAL + 3 + c, SR_NORMAL + 6 + c) for c in range(3)], 0)

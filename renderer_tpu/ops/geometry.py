@@ -463,11 +463,11 @@ def _clip_mat(rec: jnp.ndarray, mm: jnp.ndarray) -> jnp.ndarray:
     return _rows_from_cols(_clip_cols(rec, mm)).reshape(e, 3, 4)
 
 
-def _slot_map_counts(counts, base_i, capacity: int):
-    """Generic expansion slot map: slot -> (owner, base_i[owner] + local) via
-    ONE packed scatter-max + cummax (owner and start share a u32; owner is
+def _slot_map_starts(counts, capacity: int):
+    """Expansion slot map core: slot -> (owner, start-of-owner's-run) via ONE
+    packed scatter-max + cummax (owner and start share a u32; owner is
     monotone in start so the packed key is monotone). Returns
-    (owner, idx, valid, total)."""
+    (owner, start, slots, valid, total)."""
     n = counts.shape[0]
     ends = jnp.cumsum(counts)
     total = ends[-1]
@@ -490,6 +490,13 @@ def _slot_map_counts(counts, base_i, capacity: int):
         owner = jnp.maximum(jax.lax.cummax(mark_o) - 1, 0)
         mark_s = jnp.zeros((capacity,), jnp.int32).at[dest].max(starts, mode="drop")
         start = jax.lax.cummax(mark_s)
+    return owner, start, slots, valid, total
+
+
+def _slot_map_counts(counts, base_i, capacity: int):
+    """Slot map + per-slot source index base_i[owner] + local. Returns
+    (owner, idx, valid, total)."""
+    owner, start, slots, valid, total = _slot_map_starts(counts, capacity)
     idx = jnp.where(valid, base_i[owner] + (slots - start), 0)
     return owner, idx, valid, total
 
@@ -805,13 +812,35 @@ def build_draw_stream(
             scene, visible, lod, expand_capacity, model, camera_pos, vp,
             cull_backface,
         )
+        # --- phase A: positions only, column math ---------------------------
+        rec = lib.tri_rec[tri_idx]  # (E, 36) — THE wide gather
+        mm = clip_mats.reshape(n, 16)[owner]  # (E, 16)
+        cc = _clip_cols(rec, mm)
     else:
-        owner, tri_idx, valid, _ = _slot_map(scene, visible, lod, expand_capacity)
-
-    # --- phase A: positions only, column math -------------------------------
-    rec = lib.tri_rec[tri_idx]  # (E, 36) — THE wide gather
-    mm = clip_mats.reshape(n, 16)[owner]  # (E, 16)
-    cc = _clip_cols(rec, mm)
+        tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
+        base_i = lib.lod_index_offset[inst.mesh_id, lod]
+        owner, start, slots, valid, _ = _slot_map_starts(tc, expand_capacity)
+        if lib.tri_rec.shape[0] < (1 << 24):
+            # fold base_i into the wide per-owner gather row: gathers are
+            # index-rate bound, so one (E, 17) row gather costs what the
+            # (E, 16) clip-matrix gather did, and the separate 1-wide
+            # base_i[owner] gather (measured 1.9 ms/frame at E=262k)
+            # disappears. f32 carries base_i exactly below 2^24.
+            g = jnp.concatenate(
+                [clip_mats.reshape(n, 16), base_i.astype(jnp.float32)[:, None]],
+                axis=1,
+            )  # (N, 17)
+            gt = _t_cols(g[owner])  # (17, E): clip-matrix columns + base
+            tri_idx = jnp.where(
+                valid, gt[16].astype(jnp.int32) + (slots - start), 0
+            )
+            rec = lib.tri_rec[tri_idx]  # (E, 36) — THE wide gather
+            cc = _clip_cols(rec, None, mt=gt[:16])
+        else:
+            tri_idx = jnp.where(valid, base_i[owner] + (slots - start), 0)
+            rec = lib.tri_rec[tri_idx]
+            mm = clip_mats.reshape(n, 16)[owner]
+            cc = _clip_cols(rec, mm)
     x = [cc[0], cc[4], cc[8]]
     y = [cc[1], cc[5], cc[9]]
     z = [cc[2], cc[6], cc[10]]
@@ -857,13 +886,19 @@ def build_draw_stream(
     gx = jnp.where(all_front, (cx * 1023).astype(jnp.uint32), 0)
     gy = jnp.where(all_front, (cy * 1023).astype(jnp.uint32), 0)
     key = jnp.where(mask, _morton2d(gx, gy), jnp.uint32(0xFFFFFFFF))
-    perm = jnp.argsort(key, stable=True)[:out_capacity]
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_capacity).astype(jnp.int32)
     out_valid = jnp.arange(out_capacity, dtype=jnp.int32) < count
 
     # --- phase B: records for the surviving prefix --------------------------
-    owner_s = owner[perm]
-    tri_s = tri_idx[perm]
+    # payload sort: carrying (owner, tri_idx) through ONE stable sort avoids
+    # the two post-argsort permutation gathers (2 x 0.94 ms at E=262k; sorts
+    # are cheap here, gathers are index-rate bound). Same order as
+    # argsort(stable) — ties break by index either way.
+    _, owner_p, tri_p = jax.lax.sort(
+        (key, owner, tri_idx), num_keys=1, is_stable=True
+    )
+    owner_s = owner_p[:out_capacity]
+    tri_s = tri_p[:out_capacity]
     rec_s = lib.tri_rec[tri_s]  # (T, 36)
     # recompute survivor clip from the same inputs with the same op order
     # (bit-identical with phase A). ONE transposing dot per gathered table

@@ -90,6 +90,10 @@ def shade_pbr(
     # + light-space-binned Pallas traversal; replaces `rt` when set
     rt_grid=None,
     bary_from_records: bool = False,  # derive b0..b2 from SR_EDGE coefficients
+    # shade only the first k light-table slots (None = all). The reference
+    # hard-codes 2 lights (gltf_mesh.frag); the Renderer auto-sets this to
+    # the scene's live light count so dead table slots skip their GGX.
+    light_slots: int = None,
     _upto: str = None,  # diagnostic DCE prefix: "gather"|"interp"|"tex"
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
@@ -117,21 +121,39 @@ def shade_pbr(
 
     # THE gather: one contiguous 512-byte row per pixel, then ONE
     # transposing selector dot (rows of the identity, exact f32) to a
-    # (49, P) column table. The dot pins the gather's row-major layout
+    # (45, P) column table. The dot pins the gather's row-major layout
     # (same firewall as geometry._t_cols) and every later column read is a
     # free contiguous row instead of a lane-strided slice of the 1 GB
     # (H, W, 128) block — each consumer fusion re-scanned that whole block
     # before (~8 ms/frame at 1080p, PERF.md round-3).
-    n_used = SR_EDGE + 9  # 0..48: every defined record column
+    # Row ORDER groups the 8 interpolated attributes per corner into three
+    # contiguous blocks, so barycentric interpolation is ONE fused
+    # (8, P) FMA instead of ~12 per-attribute slice fusions (measured
+    # ~0.115 ms per fusion at 1080p).
+    _corner = lambda c: (
+        [SR_NORMAL + 3 * c + k for k in range(3)]
+        + [SR_UV + 2 * c, SR_UV + 2 * c + 1]
+        + [SR_TANGENT + 4 * c + k for k in range(3)]
+    )
+    _const = (
+        [SR_TEXLOD]
+        + [SR_BASE + k for k in range(3)]
+        + [SR_METALLIC, SR_ROUGH]
+        + [SR_EMISSIVE + k for k in range(3)]
+        + [SR_BC_LAYER, SR_NM_LAYER, SR_TANGENT + 3]
+        + [SR_EDGE + k for k in range(9)]
+    )
+    order = _corner(0) + _corner(1) + _corner(2) + _const
+    c_off = 24  # first constant row
     p_ = h_ * w_
     rows = shade_rec[safe_id.reshape(p_)]  # (P, 128) row-major gather
-    sel = np.zeros((n_used, shade_rec.shape[-1]), np.float32)
-    sel[np.arange(n_used), np.arange(n_used)] = 1.0
+    sel = np.zeros((len(order), shade_rec.shape[-1]), np.float32)
+    sel[np.arange(len(order)), np.array(order)] = 1.0
     cols_t = jax.lax.dot_general(
         jnp.asarray(sel), rows, (((1,), (1,)), ((), ())),
         precision="highest",
-    )  # (49, P)
-    col = lambda c: cols_t[c].reshape(h_, w_)
+    )  # (45, P)
+    col = lambda k: cols_t[c_off + _const.index(k)].reshape(h_, w_)
     if bary_from_records:
         # visibility-buffer style: evaluate the winner's edge functions at
         # the pixel center (same expression the rasterizer used); the raster
@@ -141,40 +163,46 @@ def shade_pbr(
             jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
             + jnp.asarray(y0, jnp.float32) + 0.5
         )
-        lam0 = col(SR_EDGE) * px + col(SR_EDGE + 1) * py + col(SR_EDGE + 2)
-        lam1 = col(SR_EDGE + 3) * px + col(SR_EDGE + 4) * py + col(SR_EDGE + 5)
-        lam2 = col(SR_EDGE + 6) * px + col(SR_EDGE + 7) * py + col(SR_EDGE + 8)
-        lsum = lam0 + lam1 + lam2
+        pxp = px.reshape(1, p_)
+        pyp = py.reshape(1, p_)
+        # one fused (3, P) edge evaluation over the contiguous SR_EDGE rows
+        # (9 separate column materializations before)
+        ed = cols_t[c_off + 12 : c_off + 21].reshape(3, 3, p_)
+        lam = ed[:, 0] * pxp + ed[:, 1] * pyp + ed[:, 2]  # (3, P)
+        lsum = lam[0] + lam[1] + lam[2]
         inv = 1.0 / jnp.where(lsum != 0.0, lsum, 1.0)
-        b0, b1, b2 = lam0 * inv, lam1 * inv, lam2 * inv
-        # materialize once: every interp() consumes b0..b2, and without a
+        b = lam * inv[None]
+        # materialize once: every interpolation consumes b, and without a
         # barrier XLA re-derives the whole edge evaluation inside each
         # consumer fusion (measured +16 ms at 1080p)
-        b0, b1, b2 = jax.lax.optimization_barrier((b0, b1, b2))
+        b = jax.lax.optimization_barrier(b)
+        b0 = b[0].reshape(h_, w_)
+        b1 = b[1].reshape(h_, w_)
+        b2 = b[2].reshape(h_, w_)
     else:
         b0, b1, b2 = vis.bary[0], vis.bary[1], vis.bary[2]
-
-    def interp(c0, c1, c2):
-        return b0 * col(c0) + b1 * col(c1) + b2 * col(c2)
 
     if _upto == "gather":  # records gather + bary + unproject only
         return jnp.sum(cols_t[0]) + jnp.sum(b0) + jnp.sum(world)
 
-    n_geom = _normalize_cf(
-        jnp.stack([interp(SR_NORMAL + c, SR_NORMAL + 3 + c, SR_NORMAL + 6 + c) for c in range(3)], 0)
-    )
-    u = interp(SR_UV, SR_UV + 2, SR_UV + 4)
-    v_ = interp(SR_UV + 1, SR_UV + 3, SR_UV + 5)
-    tangent = jnp.stack(
-        [interp(SR_TANGENT + c, SR_TANGENT + 4 + c, SR_TANGENT + 8 + c) for c in range(3)], 0
-    )
+    # ONE (8, P) FMA interpolates all corner attributes at once (the three
+    # contiguous corner blocks of cols_t; see `order` above)
+    b0p = b0.reshape(1, p_)
+    b1p = b1.reshape(1, p_)
+    b2p = b2.reshape(1, p_)
+    attrs = b0p * cols_t[0:8] + b1p * cols_t[8:16] + b2p * cols_t[16:24]
+    n_geom = _normalize_cf(attrs[0:3].reshape(3, h_, w_))
+    u = attrs[3].reshape(h_, w_)
+    v_ = attrs[4].reshape(h_, w_)
+    tangent = attrs[5:8].reshape(3, h_, w_)
     tan_w = col(SR_TANGENT + 3)[None]  # handedness is per-triangle constant
     tex_lod = col(SR_TEXLOD)
 
-    base_factor = jnp.stack([col(SR_BASE + c) for c in range(3)], 0)
+    # contiguous row-block reads (no per-channel stacks)
+    base_factor = cols_t[c_off + 1 : c_off + 4].reshape(3, h_, w_)
     metallic = col(SR_METALLIC)[None]
     roughness = col(SR_ROUGH)[None]
-    emissive = jnp.stack([col(SR_EMISSIVE + c) for c in range(3)], 0)
+    emissive = cols_t[c_off + 6 : c_off + 9].reshape(3, h_, w_)
     bc_layer = col(SR_BC_LAYER).astype(jnp.int32)
     nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
 
@@ -226,7 +254,10 @@ def shade_pbr(
     v = _normalize_cf(camera_pos[:, None, None] - world)
     lights = scene.lights
     color = albedo * ambient + emissive
-    for li in range(lights.alive.shape[0]):
+    n_slots_shaded = lights.alive.shape[0]
+    if light_slots is not None:
+        n_slots_shaded = min(light_slots, n_slots_shaded)
+    for li in range(n_slots_shaded):
         on = lights.alive[li]
         to_light = jnp.where(
             lights.directional[li],

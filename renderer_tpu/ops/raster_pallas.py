@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from renderer_tpu.ops.geometry import adjugate3, pixel_homogeneous
 from renderer_tpu.ops.raster_jax import VisibilityBuffer
 from renderer_tpu.ops.raster_spec import DEPTH_CLEAR, FRONT_DET_SIGN, NO_TRIANGLE
 
@@ -61,33 +60,67 @@ _FLT_MIN = 1.1754943508222875e-38  # smallest normal f32
 
 
 def _setup_tri_data(clip, valid, width, height, cull_backface):
-    """Plain-XLA triangle setup -> (tri_data (ROWS, T), block meta)."""
+    """Triangle setup -> (tri_data (T, ROWS), block meta) — COLUMN MATH.
+
+    The earlier (T, 3, 3)-tile formulation was pure layout cost (~6 ms/frame
+    at T=131k on v5e): adjugate/bbox on lane-padded tiles, a stack(axis=-1)
+    relayout, and a 23-lane concat. Here a single transposing identity dot
+    (geometry._t_cols) turns clip into (12, T) contiguous rows, every
+    quantity is an (T,) column FMA, and the record block is rebuilt with
+    stack-as-rows + one MXU transpose (geometry._rows_from_cols pattern).
+    Same expressions as before, term by term."""
+    from renderer_tpu.ops.geometry import _t_cols
+
     t_cap = clip.shape[0]
-    u = pixel_homogeneous(clip, width, height)  # (T, 3, 3)
-    m = jnp.swapaxes(u, -1, -2)
-    adj = adjugate3(m)
+    ct = _t_cols(clip.reshape(t_cap, 12))  # (12, T): [c0 xyzw, c1, c2]
+    x = [ct[4 * c] for c in range(3)]
+    y = [ct[4 * c + 1] for c in range(3)]
+    zs = [ct[4 * c + 2] for c in range(3)]
+    ws = [ct[4 * c + 3] for c in range(3)]
+    # pixel-homogeneous corners (ops/raster_spec.py): same expressions as
+    # pixel_homogeneous()
+    ux = [(x[c] + ws[c]) * (0.5 * width) for c in range(3)]
+    uy = [(ws[c] - y[c]) * (0.5 * height) for c in range(3)]
+    uz = ws
+
+    def cross(a_i, b_i):
+        """adjugate row = cross of the other two pixel-homogeneous corners
+        (identical products to geometry.adjugate3)."""
+        return (
+            uy[a_i] * uz[b_i] - uz[a_i] * uy[b_i],
+            uz[a_i] * ux[b_i] - ux[a_i] * uz[b_i],
+            ux[a_i] * uy[b_i] - uy[a_i] * ux[b_i],
+        )
+
+    adj_rows = [cross(1, 2), cross(2, 0), cross(0, 1)]  # e0, e1, e2
     det = (
-        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
-        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
-        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+        ux[0] * (uy[1] * uz[2] - uy[2] * uz[1])
+        - ux[1] * (uy[0] * uz[2] - uy[2] * uz[0])
+        + ux[2] * (uy[0] * uz[1] - uy[1] * uz[0])
     )
     if cull_backface:
-        adj = adj * FRONT_DET_SIGN
+        sgn = jnp.float32(FRONT_DET_SIGN)
         ok = valid & (det * FRONT_DET_SIGN > 0)
     else:
-        adj = adj * jnp.sign(det)[..., None, None]
+        sgn = jnp.sign(det)
         ok = valid & (det != 0)
+    adj_rows = [tuple(comp * sgn for comp in row) for row in adj_rows]
 
-    ws = clip[..., 3]
-    zs = clip[..., 2]
-    all_front = jnp.all(ws > 1e-9, axis=-1)
-    safe_w = jnp.where(jnp.abs(ws) > 1e-9, ws, 1e-9)
-    px = u[..., 0] / safe_w
-    py = u[..., 1] / safe_w
-    xmin = jnp.where(all_front, jnp.min(px, axis=-1) - 0.5, 0.0)
-    xmax = jnp.where(all_front, jnp.max(px, axis=-1) + 0.5, float(width))
-    ymin = jnp.where(all_front, jnp.min(py, axis=-1) - 0.5, 0.0)
-    ymax = jnp.where(all_front, jnp.max(py, axis=-1) + 0.5, float(height))
+    all_front = (ws[0] > 1e-9) & (ws[1] > 1e-9) & (ws[2] > 1e-9)
+    safe_w = [jnp.where(jnp.abs(w) > 1e-9, w, 1e-9) for w in ws]
+    px = [ux[c] / safe_w[c] for c in range(3)]
+    py = [uy[c] / safe_w[c] for c in range(3)]
+
+    def min3(v):
+        return jnp.minimum(jnp.minimum(v[0], v[1]), v[2])
+
+    def max3(v):
+        return jnp.maximum(jnp.maximum(v[0], v[1]), v[2])
+
+    xmin = jnp.where(all_front, min3(px) - 0.5, 0.0)
+    xmax = jnp.where(all_front, max3(px) + 0.5, float(width))
+    ymin = jnp.where(all_front, min3(py) - 0.5, 0.0)
+    ymax = jnp.where(all_front, max3(py) + 0.5, float(height))
     # clip the bbox so off-screen tris never flag any tile
     on_screen = (xmax >= 0) & (xmin <= width) & (ymax >= 0) & (ymin <= height)
     ok = ok & on_screen
@@ -95,26 +128,58 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
     # per-edge fill-rule thresholds (see _R_TE): top-left edges accept
     # lam == 0, encoded as a strict compare against -FLT_MIN (exact under
     # the TPU's flush-to-zero arithmetic)
-    ea = adj[..., 0]  # (T, 3)
-    eb = adj[..., 1]
-    top_left = (ea > 0) | ((ea == 0) & (eb > 0))
-    te = jnp.where(top_left, jnp.float32(-_FLT_MIN), jnp.float32(0.0))
+    te = [
+        jnp.where(
+            (row[0] > 0) | ((row[0] == 0) & (row[1] > 0)),
+            jnp.float32(-_FLT_MIN),
+            jnp.float32(0.0),
+        )
+        for row in adj_rows
+    ]
 
-    # row-record layout: one (32,) f32 record per triangle so the kernel can
-    # slice 8-triangle sublane groups and read fields with static indices
-    tri_data = jnp.concatenate(
-        [
-            adj.reshape(t_cap, 9),  # (T, 9)
-            zs,  # (T, 3)
-            ws,  # (T, 3)
-            jnp.stack([xmin, xmax, ymin, ymax], axis=-1),  # (T, 4)
-            ok[:, None].astype(jnp.float32),  # (T, 1)
-            te,  # (T, 3)
-            jnp.zeros((t_cap, ROWS - 23), jnp.float32),  # lane padding
-        ],
-        axis=1,
+    # record layout _R_*: stack columns as contiguous rows, pad to ROWS, one
+    # MXU transpose to the (T, ROWS) row-major block the kernel DMAs
+    # dead triangles get a poisoned bbox in the RECORD (the kernel's bbox
+    # test then rejects them with no separate _R_OK scalar load); the raw
+    # bbox + ok go to the binner, which masks identically
+    inf = jnp.float32(jnp.inf)
+    cols = (
+        [comp for row in adj_rows for comp in row]  # 0..8  e0abc,e1abc,e2abc
+        + list(zs)  # 9..11
+        + list(ws)  # 12..14
+        + [
+            jnp.where(ok, xmin, inf),  # 15..18
+            jnp.where(ok, xmax, -inf),
+            jnp.where(ok, ymin, inf),
+            jnp.where(ok, ymax, -inf),
+        ]
+        + [ok.astype(jnp.float32)]  # 19
+        + te  # 20..22
     )
-    return tri_data, (xmin, xmax, ymin, ymax, ok)
+    stacked = jnp.concatenate(
+        [
+            jnp.stack(cols, axis=0),
+            jnp.zeros((ROWS - len(cols), t_cap), jnp.float32),
+        ],
+        axis=0,
+    )  # (ROWS, T), contiguous row writes
+    eye = jnp.eye(ROWS, dtype=jnp.float32)
+    tri_data = jax.lax.dot_general(
+        stacked, eye, (((0,), (0,)), ((), ())), precision="highest"
+    )  # (T, ROWS)
+    # "simple" triangles can skip the per-pixel w>0 and z-range tests:
+    # all corners front (w > 1e-9) and z in [0, w] corner-wise implies the
+    # interpolated z_num in [0, w_i] (non-negative barycentric combination)
+    # and w_i > 0 for any covered pixel (sum of lams = det > 0 after the
+    # orientation flip, so not all lams vanish on a non-degenerate
+    # triangle). The kernel picks a cheaper inner loop for blocks whose
+    # live triangles are all simple (~25% fewer vector ops per hit).
+    z_in = (
+        (zs[0] >= 0) & (zs[1] >= 0) & (zs[2] >= 0)
+        & (zs[0] <= ws[0]) & (zs[1] <= ws[1]) & (zs[2] <= ws[2])
+    )
+    simple = ok & all_front & z_in
+    return tri_data, (xmin, xmax, ymin, ymax, ok), simple
 
 
 MAX_BLOCKS_PER_TILE = 2048  # per-tile bin list cap (SMEM scratch = 8 KB)
@@ -192,6 +257,7 @@ def _raster_kernel(
     # scalar-prefetch inputs (SMEM, whole arrays)
     block_count_ref,  # (n_tiles,) i32; -1 = bin overflow, walk all blocks
     y0_ref,  # (1,) i32 row offset (sharded-image support)
+    block_simple_ref,  # (n_blocks,) i32; 1 = all live triangles "simple"
     # inputs
     block_list_hbm,  # (n_tiles, MAXB) i32, HBM
     tri_hbm,  # (ROWS, T) f32, HBM
@@ -297,11 +363,12 @@ def _raster_kernel(
             # bboxes are unions; individual triangles often miss), and a
             # per-SUBTILE scalar y-range test skips the (SUB, TILE_W) rows
             # the triangle's bbox can't touch.
-            def tri_one(k):
+            def tri_one(k, fast):
                 def s(col):
                     return buf[slot, k, col]
 
-                ok = s(_R_OK) > 0.5
+                # dead triangles carry a poisoned (+inf/-inf) bbox, so the
+                # bbox test alone rejects them: no separate _R_OK load
                 hit_tile = (
                     (s(_R_BB) <= tx0 + TILE_W)
                     & (s(_R_BB + 1) >= tx0)
@@ -309,7 +376,7 @@ def _raster_kernel(
                     & (s(_R_BB + 3) >= ty0)
                 )
 
-                @pl.when(ok & hit_tile)
+                @pl.when(hit_tile)
                 def _():
                     def edge(e):
                         a = s(_R_E + 3 * e)
@@ -334,10 +401,16 @@ def _raster_kernel(
                     # stored bbox is only the ±0.5-padded conservative hull,
                     # so it can never cut a covered pixel), and w-crossing
                     # triangles get a full-screen bbox anyway.
-                    covered = (
-                        a0 & a1 & a2
-                        & (w_i > 0) & (z_num >= 0.0) & (z_num <= w_i)
-                    )
+                    if fast:
+                        # "simple" block (see _setup_tri_data): w_i > 0 and
+                        # z_num in [0, w_i] hold by construction for covered
+                        # pixels — edge coverage alone decides
+                        covered = a0 & a1 & a2
+                    else:
+                        covered = (
+                            a0 & a1 & a2
+                            & (w_i > 0) & (z_num >= 0.0) & (z_num <= w_i)
+                        )
                     closer = covered & (z_num * wden_ref[:] < znum_ref[:] * w_i)
                     znum_ref[:] = jnp.where(closer, z_num, znum_ref[:])
                     wden_ref[:] = jnp.where(closer, w_i, wden_ref[:])
@@ -347,14 +420,29 @@ def _raster_kernel(
                         lam1_ref[:] = jnp.where(closer, lam1, lam1_ref[:])
                         lsum_ref[:] = jnp.where(closer, lam0 + lam1 + lam2, lsum_ref[:])
 
-            def tri_body(k2, _):
-                # unrolled x2: independent scalar loads/branches of the
-                # second triangle overlap the first's vector work
-                tri_one(2 * k2)
-                tri_one(2 * k2 + 1)
-                return 0
+            def make_body(fast):
+                def tri_body(k2, _):
+                    # unrolled x4: independent scalar loads/branches of later
+                    # triangles overlap earlier triangles' vector work
+                    tri_one(4 * k2, fast)
+                    tri_one(4 * k2 + 1, fast)
+                    tri_one(4 * k2 + 2, fast)
+                    tri_one(4 * k2 + 3, fast)
+                    return 0
 
-            jax.lax.fori_loop(0, BLOCK // 2, tri_body, 0)
+                return tri_body
+
+            # one branch per BLOCK visit picks the specialized loop
+            is_simple = block_simple_ref[blk]
+
+            @pl.when(is_simple != 0)
+            def _():
+                jax.lax.fori_loop(0, BLOCK // 4, make_body(True), 0)
+
+            @pl.when(is_simple == 0)
+            def _():
+                jax.lax.fori_loop(0, BLOCK // 4, make_body(False), 0)
+
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -381,7 +469,7 @@ def bin_overflow_tiles(
     """() i32 — tiles whose bin list overflowed MAX_BLOCKS_PER_TILE this
     frame (those tiles silently degrade to walk-all-blocks: correct but a
     perf cliff; surfaced in the HUD so it's observable)."""
-    _, bbox_ok = _setup_tri_data(clip, valid, width, height, cull_backface)
+    _, bbox_ok, _ = _setup_tri_data(clip, valid, width, height, cull_backface)
     _, block_count = _bin_blocks(bbox_ok, clip.shape[0], width, height)
     return jnp.sum((block_count < 0).astype(jnp.int32))
 
@@ -416,16 +504,23 @@ def rasterize_pallas(
     n_ty, n_tx = height // TILE_H, width // TILE_W
     n_blocks = t_cap // BLOCK
 
-    tri_data, bbox_ok = _setup_tri_data(clip, valid, width, full_height, cull_backface)
+    tri_data, bbox_ok, simple = _setup_tri_data(
+        clip, valid, width, full_height, cull_backface
+    )
     # tile grid covers only this shard's rows, offset by y0 in pixel space
     block_list, block_count = _bin_blocks(bbox_ok, t_cap, width, height, y0=y0)
+    # per-block fast-path flag: every LIVE triangle in the block is simple
+    # (dead ones are rejected by their poisoned bbox either way)
+    block_simple = jnp.all(
+        (simple | ~bbox_ok[4]).reshape(n_blocks, BLOCK), axis=1
+    ).astype(jnp.int32)
 
     # per-tile bin counts ride scalar prefetch (tiny, SMEM-resident); the
     # bin LISTS live in HBM and are DMA'd per tile into SMEM scratch — lists
     # at 1080p scale (n_tiles x 1024 i32) far exceed the ~1 MB SMEM budget
     maxb = block_list.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # block lists, HBM
@@ -460,6 +555,7 @@ def rasterize_pallas(
     )(
         block_count.reshape(n_ty * n_tx),
         jnp.asarray(y0, jnp.int32).reshape(1),
+        block_simple,
         block_list.reshape(n_ty * n_tx, maxb // 128, 128),
         tri_data,
     )

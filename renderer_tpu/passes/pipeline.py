@@ -52,6 +52,13 @@ class PipelineConfig:
     # cost for ~2.5% cluster cull (coarse LODs make cones near-hemispheric),
     # so it defaults off and should be enabled for detailed-geometry scenes.
     cluster_cull: bool = False
+    # shade only the first k light-table slots (None = whole table). The
+    # reference hard-codes 2 lights in gltf_mesh.frag; here the Renderer
+    # auto-specializes to the scene's live light count at construction
+    # (dead table slots otherwise pay a full GGX evaluation each —
+    # measured ~1.5 ms/slot at 1080p). Lights are table-prefix-packed by
+    # SceneBuilder, so a prefix bound shades every live light.
+    shade_light_slots: int = None
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -430,6 +437,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 trilinear=cfg.trilinear,
                 bary_from_records=cfg.use_pallas,
                 y0=y0, full_height=fh,
+                light_slots=cfg.shade_light_slots,
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,

@@ -40,7 +40,10 @@ class RuntimeConfig:
     reference_image: bool = False
 
     def as_dict(self) -> dict:
-        return dataclasses.asdict(self)
+        # vars() copy, not dataclasses.asdict: asdict's recursive deepcopy
+        # measured 0.6 ms/frame of host time in the render loop (flat
+        # bool fields only, so a shallow copy is equivalent)
+        return dict(vars(self))
 
 
 class Renderer:
@@ -56,6 +59,17 @@ class Renderer:
 
         enable_persistent_cache()  # crossbar analogue: warm process starts
         self.cfg = cfg or PipelineConfig()
+        if self.cfg.shade_light_slots is None:
+            # static light-slot specialization: shade only the scene's live
+            # prefix of the light table (the reference hard-codes 2 lights in
+            # gltf_mesh.frag; dead slots otherwise pay a full GGX each). The
+            # count is concrete at construction; scenes passed to render()
+            # later must not grow their live-light count past it.
+            import numpy as np
+
+            self.cfg = dataclasses.replace(
+                self.cfg, shade_light_slots=int(np.asarray(scene.lights.count))
+            )
         self.spmd_mesh = spmd_mesh
         if spmd_mesh is not None:
             assert self.cfg.spmd_devices == spmd_mesh.shape[self.cfg.spmd_axis], (
@@ -150,8 +164,12 @@ class Renderer:
         plan = self.plans.plan(self.config.as_dict())
         fn = self._jit_for(plan)
         t0 = time.perf_counter()
+        import numpy as np
+
         outputs, self.state = fn(
-            self.state, self.scene, camera, jax.numpy.float32(time_s), overlay
+            # np.float32, NOT jnp: an eager jnp scalar is a per-frame device
+            # dispatch (~0.3 ms through the tunnel before the real program)
+            self.state, self.scene, camera, np.float32(time_s), overlay
         )
         self.stats["last_ms"] = (time.perf_counter() - t0) * 1e3
         self.stats["frames"] += 1

@@ -26,13 +26,16 @@ from renderer_tpu.scene.types import Scene
 
 def _normalize_cf(v, eps=1e-8):
     """(3, H, W) -> unit vectors."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    n = jnp.sqrt(_dot_cf(v, v))
     return v / jnp.maximum(n, eps)
 
 
 def _dot_cf(a, b):
-    """(3, H, W) x (3, H, W) -> (1, H, W)."""
-    return jnp.sum(a * b, axis=0, keepdims=True)
+    """(3, H, W) x (3, H, W) -> (1, H, W). Unrolled adds, not a reduce op:
+    cross-channel reduces compile to separate multiply_reduce fusions (~8 x
+    0.2 ms/frame at 1080p); plain FMAs fuse into their consumers. Same
+    order as the 3-wide reduce ((x0+x1)+x2), so values are unchanged."""
+    return ((a[0] * b[0] + a[1] * b[1]) + a[2] * b[2])[None]
 
 
 def _cross_cf(a, b):
@@ -264,7 +267,7 @@ def shade_pbr(
             -lights.position[li][:, None, None] * jnp.ones_like(world),
             lights.position[li][:, None, None] - world,
         )
-        dist2 = jnp.sum(to_light * to_light, axis=0, keepdims=True)
+        dist2 = _dot_cf(to_light, to_light)
         l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
         atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
         radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)

@@ -78,16 +78,19 @@ def _bilinear(atlas: TextureAtlas, level, layer, u, v):
 def _gather_quad_row(atlas, idx, ncols=None):
     """One texel's QUAD_COLS row from the packed quad table.
 
-    QUAD_PACK texels share each physical 128-lane row (scene/textures.py):
-    gather the shared row (gathers are index-rate-bound, so a fuller row
-    costs the same), then a log2(pack)-deep lane-select tree picks this
-    texel's 16-column slice. Measured on v5e at 2M samples: pack=4 is ~2x
-    FASTER than the padded (N, 16) layout at 1/4 the memory.
+    QUAD_PACK texels share each physical 128-lane row (scene/textures.py
+    pack_quad_rows — GROUPED layout: all pack texels' 4 bilinear words are
+    the row prefix, trilinear 3x3 words follow): gather the shared row
+    (gathers are index-rate-bound, so a fuller row costs the same), then a
+    log2(pack)-deep lane-select tree picks this texel's slice. Measured on
+    v5e at 2M samples: pack=4 is ~2x FASTER than the padded (N, 16) layout
+    at 1/4 the memory.
 
-    ncols: only the first ncols of the texel's row are selected/returned —
-    bilinear-only sampling needs just the 4 quad words, which shrinks the
-    select tree and the channel-major re-layout copy of the gather output
-    (measured 2.4 ms/frame for the full-width copy at 1080p)."""
+    ncols: only the first ncols of the texel's row are selected/returned.
+    Bilinear-only sampling (ncols=4) gathers ONLY the 4*pack-lane row
+    prefix — the full-width gather dragged a 534 MB channel-major relayout
+    copy (2.4 ms/frame at 1080p); the prefix cuts the gather output and
+    the copy 4x."""
     from renderer_tpu.scene.textures import QUAD_COLS
 
     if ncols is None:
@@ -96,11 +99,24 @@ def _gather_quad_row(atlas, idx, ncols=None):
     if pack == 1:
         return atlas.quad_u32[idx][..., :ncols]
     shift = pack.bit_length() - 1
-    rows = atlas.quad_u32[idx >> shift]  # (..., QUAD_COLS * pack)
     sub = idx & (pack - 1)
-    chunks = [
-        rows[..., QUAD_COLS * k : QUAD_COLS * k + ncols] for k in range(pack)
-    ]
+    if ncols <= 4:
+        # contiguous-prefix slice of the table: XLA narrows the gather
+        rows = atlas.quad_u32[:, : 4 * pack][idx >> shift]  # (..., 4*pack)
+        chunks = [rows[..., 4 * k : 4 * k + ncols] for k in range(pack)]
+    else:
+        rows = atlas.quad_u32[idx >> shift]  # (..., QUAD_COLS * pack)
+        base = 4 * pack
+        chunks = [
+            jnp.concatenate(
+                [
+                    rows[..., 4 * k : 4 * k + 4],
+                    rows[..., base + 12 * k : base + 12 * k + (ncols - 4)],
+                ],
+                axis=-1,
+            )
+            for k in range(pack)
+        ]
     bit = 1
     while len(chunks) > 1:
         take_hi = (sub & bit)[..., None] != 0

@@ -193,7 +193,9 @@ def _upload_texture_quads(quad, level_offset, layer, *mips):
         # QUAD_PACK texels share a physical row; level blocks are pack-
         # aligned by construction (scene/textures.py), so the packed view of
         # this level's rows is a clean rectangle
-        r = r.reshape(r.shape[0] // pack, QUAD_COLS * pack)
+        from renderer_tpu.scene.textures import pack_quad_rows
+
+        r = pack_quad_rows(r, pack, xp=jnp)
         quad = jax.lax.dynamic_update_slice(quad, r, (start // pack, 0))
     return quad
 

@@ -179,8 +179,12 @@ def test_quad_table_packing():
     total = atlas.packed_u32.shape[0]
     assert atlas.quad_u32.shape == (total // 4, QUAD_COLS * 4)
     # gather each texel's row through the packed layout and compare with a
-    # numpy unpack of the same table
-    flat = np.asarray(atlas.quad_u32).reshape(total, QUAD_COLS)
+    # numpy unpack of the same table (GROUPED layout: bilinear-prefix —
+    # see scene/textures.py pack_quad_rows)
+    q = np.asarray(atlas.quad_u32)
+    bil = q[:, : 4 * 4].reshape(-1, 4, 4)
+    tri = q[:, 4 * 4 :].reshape(-1, 4, QUAD_COLS - 4)
+    flat = np.concatenate([bil, tri], axis=2).reshape(total, QUAD_COLS)
     idx = jnp.asarray(rng.integers(0, total, (257,), dtype=np.int32))
     rows = np.asarray(_gather_quad_row(atlas, idx))
     np.testing.assert_array_equal(rows, flat[np.asarray(idx)])

@@ -993,31 +993,36 @@ def build_draw_stream(
         + cross_cols(uvec[0], uvec[1])
     )
 
-    # columns -> row-major blocks for the record concat (stack-as-rows +
-    # MXU transpose; see _rows_from_cols)
-    wn_blk = _rows_from_cols(wn_cols)  # (T, 9)
-    uv_blk = _rows_from_cols(uv_cols)  # (T, 6)
-    tan_blk = _rows_from_cols(tan_cols)  # (T, 12)
-
-    srec = jnp.concatenate(
-        [
-            wn_blk,
-            uv_blk,
-            tan_blk,
-            tex_lod[:, None],
-            owner_s.astype(jnp.float32)[:, None],
-            mat,
-            _rows_from_cols(edge_cols),
-        ],
-        axis=-1,
-    )  # (T, 49) in SR_* order
-    shade_rec = jnp.concatenate(
-        [srec, jnp.zeros((out_capacity, SR_COLS - srec.shape[-1]), jnp.float32)],
-        axis=-1,
+    # the WHOLE record as one column stack + ONE MXU transpose: per-block
+    # _rows_from_cols dots plus the two minor-axis concats (incl. the 67 MB
+    # zero-pad write) cost ~1 ms/frame at T=131k. mat is a row-major gather
+    # -> one transposing dot turns it into free column rows first.
+    mat_t = _t_cols(mat)  # (11, T)
+    all_cols = (
+        wn_cols  # SR_NORMAL: 9
+        + uv_cols  # SR_UV: 6
+        + tan_cols  # SR_TANGENT: 12
+        + [tex_lod, owner_s.astype(jnp.float32)]  # SR_TEXLOD, SR_INSTANCE
+        + [mat_t[i] for i in range(11)]  # SR_BASE .. SR_NM_LAYER
+        + edge_cols  # SR_EDGE: 9
     )
+    stacked = jnp.concatenate(
+        [
+            jnp.stack(all_cols, axis=0),
+            jnp.zeros((SR_COLS - len(all_cols), out_capacity), jnp.float32),
+        ],
+        axis=0,
+    )  # (SR_COLS, T) contiguous row writes
+    eye = jnp.eye(SR_COLS, dtype=jnp.float32)
+    shade_rec = jax.lax.dot_general(
+        stacked, eye, (((0,), (0,)), ((), ())), precision="highest"
+    )  # (T, SR_COLS)
 
     clip = cm_s
     if want_soup_attrs:
+        wn_blk = _rows_from_cols(wn_cols)  # (T, 9)
+        uv_blk = _rows_from_cols(uv_cols)  # (T, 6)
+        tan_blk = _rows_from_cols(tan_cols)  # (T, 12)
         normal = wn_blk.reshape(out_capacity, 3, 3)
         uv = uv_blk.reshape(out_capacity, 3, 2)
         tangent = tan_blk.reshape(out_capacity, 3, 4)

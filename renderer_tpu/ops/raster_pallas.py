@@ -43,9 +43,11 @@ TILE_W = 128
 # loosen (the per-triangle scalar bbox reject absorbs the waste).
 BLOCK = 64
 GROUP = 8  # triangles processed per loop iteration (one sublane group)
-# f32 record columns per triangle: 20 used, padded to a full 128-lane row so
-# HBM block DMAs stay tile-aligned (Mosaic requires 128-lane slices)
-ROWS = 128
+# f32 record columns per triangle: 23 used, padded to 32 so four records
+# tile one physical 128-lane row — the (T, 32) table is stored reshaped as
+# (T//4, 128), Mosaic DMAs stay 128-lane aligned, and each 64-triangle
+# block DMA moves 8 KB instead of the full-row layout's 32 KB
+ROWS = 32
 _R_E = 0      # cols 0..8: oriented edge coeffs (e0a,e0b,e0c, e1a,..., e2c)
 _R_Z = 9      # cols 9..11: z_clip per vertex
 _R_W = 12     # cols 12..14: w_clip per vertex
@@ -166,7 +168,7 @@ def _setup_tri_data(clip, valid, width, height, cull_backface):
     eye = jnp.eye(ROWS, dtype=jnp.float32)
     tri_data = jax.lax.dot_general(
         stacked, eye, (((0,), (0,)), ((), ())), precision="highest"
-    )  # (T, ROWS)
+    ).reshape(t_cap * ROWS // 128, 128)  # (T, ROWS) -> 128-lane DMA rows
     # "simple" triangles can skip the per-pixel w>0 and z-range tests:
     # all corners front (w > 1e-9) and z in [0, w] corner-wise implies the
     # interpolated z_num in [0, w_i] (non-negative barycentric combination)
@@ -335,7 +337,7 @@ def _raster_kernel(
     list_sem,  # DMA sem
     mask_smem,  # (2*n_blocks'//128, 128) i32 SMEM
     mask_sem,  # DMA sem
-    buf,  # (2, BLOCK, ROWS) f32 SMEM — scalar-read triangle records
+    buf,  # (2, BLOCK*ROWS//128, 128) f32 SMEM — scalar-read triangle records
     sem,  # (2,) DMA sems
     lam0_ref,  # (TILE_H, TILE_W) f32 VMEM — unnormalized winning barycentrics
     lam1_ref,
@@ -394,11 +396,13 @@ def _raster_kernel(
         + 0.5
     )
 
+    rows_per_block = BLOCK * ROWS // 128
+
     def start_dma(i, slot):
         blk = block_id(i)
-        off = pl.multiple_of(blk * BLOCK, BLOCK)
+        off = pl.multiple_of(blk * rows_per_block, rows_per_block)
         return pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(off, BLOCK), :], buf.at[slot], sem.at[slot]
+            tri_hbm.at[pl.ds(off, rows_per_block), :], buf.at[slot], sem.at[slot]
         )
 
     list_dma.wait()  # must consume the semaphores even when count == 0
@@ -418,7 +422,13 @@ def _raster_kernel(
             # wait for this block's stripe
             blk = block_id(i)
             pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(pl.multiple_of(blk * BLOCK, BLOCK), BLOCK), :],
+                tri_hbm.at[
+                    pl.ds(
+                        pl.multiple_of(blk * rows_per_block, rows_per_block),
+                        rows_per_block,
+                    ),
+                    :,
+                ],
                 buf.at[slot],
                 sem.at[slot],
             ).wait()
@@ -440,7 +450,11 @@ def _raster_kernel(
             # variant spent ~half its cycles there).
             def tri_one(k, fast):
                 def s(col):
-                    return buf[slot, k, col]
+                    # records are 32-lane packed, 4 per physical 128-lane
+                    # row: static (k, col) -> static (row, lane) in unrolled
+                    # loops
+                    flat = k * ROWS + col
+                    return buf[slot, flat // 128, flat % 128]
 
                 if isinstance(k, int):  # full unroll: static word pick/shift
                     word = w0 if k < 32 else w1
@@ -624,7 +638,7 @@ def rasterize_pallas(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((masks.shape[1] // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SMEM((2, BLOCK, ROWS), jnp.float32),
+            pltpu.SMEM((2, BLOCK * ROWS // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),

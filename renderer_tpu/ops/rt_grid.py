@@ -32,11 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from renderer_tpu.ops.raster_pallas import (
     BLOCK,
-    ROWS,
     TILE_H,
     TILE_W,
     _bin_blocks,
 )
+
+# this kernel keeps full 128-lane record rows (20 used): its DMAs slice
+# (BLOCK, ROWS) directly, so ROWS must stay 128-aligned (the camera raster
+# kernel packs 4 records per physical row instead — raster_pallas.ROWS=32)
+ROWS = 128
 
 # record columns (light-space, 2D homogeneous — handles perspective lights)
 _O_E = 0    # 0..8   edge coeffs (sign-normalized: inside => all lam >= 0)

@@ -907,14 +907,39 @@ def build_draw_stream(
     # replaces cost ~12 ms/frame in relayout reshapes + copies + small
     # matmuls (device-trace accounting, PERF.md round-3).
     t_out = out_capacity
-    mm_s = clip_mats.reshape(n, 16)[owner_s]  # (T, 16)
+    # ONE combined per-owner gather row (clip matrix | model matrix |
+    # material record): gathers are index-rate bound, so one (T, 43) row
+    # fetch costs what one (T, 16) did, replacing three separate
+    # owner_s-indexed gathers (+ the material table's own transposing dot —
+    # its columns come out of the shared one below)
+    mats = scene.materials
+    mat_rec = jnp.concatenate(
+        [
+            mats.base_color_factor,
+            mats.metallic[:, None],
+            mats.roughness[:, None],
+            mats.emissive,
+            mats.base_color_tex[:, None].astype(jnp.float32),
+            mats.normal_tex[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (K, 11) — matches SR_BASE..SR_NM_LAYER order
+    g2 = jnp.concatenate(
+        [
+            clip_mats.reshape(n, 16),
+            model.reshape(n, 16),
+            mat_rec[inst.material_id],  # (N, 11)
+        ],
+        axis=1,
+    )  # (N, 43)
+    gt2 = _t_cols(g2[owner_s])  # (43, T)
     rts = _t_cols(rec_s)  # (36, T): positions, normals, uvs, tangents
-    mts_clip = _t_cols(mm_s)  # (16, T)
-    ccs = _clip_cols(rec_s, mm_s, rt=rts, mt=mts_clip)
+    mts_clip = gt2[:16]  # (16, T)
+    ccs = _clip_cols(rec_s, None, rt=rts, mt=mts_clip)
     cm_s = _rows_from_cols(ccs).reshape(t_out, 3, 4)  # soup clip
     # normal/tangent rotation by the model linear part, column form:
     # w[c][j] = sum_k v[3c+k] * lin[j][k], lin[j][k] = model_row[4j+k]
-    mts = _t_cols(model.reshape(n, 16)[owner_s])  # (16, T)
+    mts = gt2[16:32]  # (16, T)
 
     def rot_cols(base, stride):
         return [
@@ -950,22 +975,7 @@ def build_draw_stream(
     tex_lod = 0.5 * jnp.log2(jnp.maximum(a_uv / jnp.maximum(a_px, 1e-12), 1e-12))
     tex_lod = jnp.where(ok_w, jnp.maximum(tex_lod, 0.0), 0.0)
 
-    # material row per triangle: per-instance pre-gather keeps the hot gather
-    # at one (T,)-indexed row fetch
-    mats = scene.materials
-    mat_rec = jnp.concatenate(
-        [
-            mats.base_color_factor,
-            mats.metallic[:, None],
-            mats.roughness[:, None],
-            mats.emissive,
-            mats.base_color_tex[:, None].astype(jnp.float32),
-            mats.normal_tex[:, None].astype(jnp.float32),
-        ],
-        axis=1,
-    )  # (K, 11) — matches SR_BASE..SR_NM_LAYER order
-    inst_mat = mat_rec[inst.material_id]  # (N, 11)
-    mat = inst_mat[owner_s]  # (T, 11)
+    # material columns ride the combined gather (gt2 rows 32..42)
 
     # edge coefficients (SR_EDGE): adj(M) rows = cross products of the other
     # two pixel-homogeneous columns; shading divides λ_i by Σλ so any common
@@ -995,9 +1005,8 @@ def build_draw_stream(
 
     # the WHOLE record as one column stack + ONE MXU transpose: per-block
     # _rows_from_cols dots plus the two minor-axis concats (incl. the 67 MB
-    # zero-pad write) cost ~1 ms/frame at T=131k. mat is a row-major gather
-    # -> one transposing dot turns it into free column rows first.
-    mat_t = _t_cols(mat)  # (11, T)
+    # zero-pad write) cost ~1 ms/frame at T=131k.
+    mat_t = gt2[32:43]  # (11, T) material columns, free rows
     all_cols = (
         wn_cols  # SR_NORMAL: 9
         + uv_cols  # SR_UV: 6

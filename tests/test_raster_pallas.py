@@ -119,3 +119,54 @@ def test_y0_sharded_rendering():
         np.concatenate([np.asarray(top.depth), np.asarray(bot.depth)]),
         atol=1e-7,
     )
+
+
+def test_tile_boundary_aligned_triangles():
+    """Bin-bitmask semantics at exact tile boundaries: triangles whose NDC
+    bboxes land exactly on TILE_W/TILE_H pixel multiples must rasterize
+    identically to the XLA fallback (the mask uses floor-intervals of the
+    bbox while the kernel once compared pixel bounds — a boundary-equality
+    mismatch here would drop whole triangles at tile edges)."""
+    w, h = 256, 64
+    # pixel-space targets on/around the x=128 and y=32 tile seams
+    px_tris = [
+        # right edge exactly at x=128 (tile 0/1 seam)
+        [(100.0, 10.0), (128.0, 10.0), (114.0, 30.0)],
+        # left edge exactly at x=128
+        [(128.0, 40.0), (156.0, 40.0), (142.0, 60.0)],
+        # bottom edge exactly at y=32 (tile row seam)
+        [(40.0, 12.0), (70.0, 12.0), (55.0, 32.0)],
+        # vertex exactly on the tile corner (128, 32)
+        [(128.0, 32.0), (150.0, 50.0), (120.0, 55.0)],
+        # spans the seam
+        [(120.0, 28.0), (140.0, 28.0), (130.0, 44.0)],
+    ]
+    tris = []
+    for tri in px_tris:
+        corners = []
+        for (px, py) in tri:
+            # inverse of the viewport transform at w=1 (z=0.5)
+            x = px / w * 2.0 - 1.0
+            y = 1.0 - py / h * 2.0
+            corners.append([x, y, 0.5, 1.0])
+        # wind so the pixel-space orientation is front-facing
+        tris.append(corners)
+    n = len(tris)
+    clip = np.asarray(tris, np.float32)
+    pad = (-n) % 256
+    clip = np.concatenate([clip, np.zeros((pad, 3, 4), np.float32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    got = rasterize_pallas(
+        jnp.asarray(clip), jnp.asarray(valid), w, h, cull_backface=False,
+        interpret=True,
+    )
+    want = rasterize(
+        jnp.asarray(clip), jnp.asarray(valid), w, h, cull_backface=False
+    )
+    assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all()
+    # every crafted triangle must actually appear (nothing dropped at seams)
+    ids = set(np.unique(np.asarray(want.tri_id))) - {NO_TRIANGLE}
+    assert ids == set(range(n)), ids
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(want.depth), atol=1e-6
+    )

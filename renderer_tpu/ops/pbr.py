@@ -166,22 +166,26 @@ def shade_pbr(
             jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
             + jnp.asarray(y0, jnp.float32) + 0.5
         )
-        pxp = px.reshape(1, p_)
-        pyp = py.reshape(1, p_)
-        # one fused (3, P) edge evaluation over the contiguous SR_EDGE rows
-        # (9 separate column materializations before)
-        ed = cols_t[c_off + 12 : c_off + 21].reshape(3, 3, p_)
-        lam = ed[:, 0] * pxp + ed[:, 1] * pyp + ed[:, 2]  # (3, P)
-        lsum = lam[0] + lam[1] + lam[2]
+        pxf = px.reshape(p_)
+        pyf = py.reshape(p_)
+        # flat (P,) row math over the contiguous SR_EDGE rows — an
+        # (3, 3, P)-shaped formulation padded its sublane dim 3 -> 8 and
+        # materialized ~1 ms/frame of slice+reshape at 1080p
+        e = lambda k: cols_t[c_off + 12 + k]  # (P,) contiguous row
+        lam0 = e(0) * pxf + e(1) * pyf + e(2)
+        lam1 = e(3) * pxf + e(4) * pyf + e(5)
+        lam2 = e(6) * pxf + e(7) * pyf + e(8)
+        lsum = lam0 + lam1 + lam2
         inv = 1.0 / jnp.where(lsum != 0.0, lsum, 1.0)
-        b = lam * inv[None]
         # materialize once: every interpolation consumes b, and without a
         # barrier XLA re-derives the whole edge evaluation inside each
         # consumer fusion (measured +16 ms at 1080p)
-        b = jax.lax.optimization_barrier(b)
-        b0 = b[0].reshape(h_, w_)
-        b1 = b[1].reshape(h_, w_)
-        b2 = b[2].reshape(h_, w_)
+        b0, b1, b2 = jax.lax.optimization_barrier(
+            (lam0 * inv, lam1 * inv, lam2 * inv)
+        )
+        b0 = b0.reshape(h_, w_)
+        b1 = b1.reshape(h_, w_)
+        b2 = b2.reshape(h_, w_)
     else:
         b0, b1, b2 = vis.bary[0], vis.bary[1], vis.bary[2]
 

@@ -170,3 +170,41 @@ def test_tile_boundary_aligned_triangles():
     np.testing.assert_allclose(
         np.asarray(got.depth), np.asarray(want.depth), atol=1e-6
     )
+
+
+def test_bin_overflow_walk_all_path():
+    """Force a tile's bin list over MAX_BLOCKS_PER_TILE: the kernel's
+    walk-every-block fallback (count = -1) must still rasterize exactly —
+    with the per-block triangle bitmasks, the overflow path indexes the
+    dense mask table by raw block id, which this pins down."""
+    import renderer_tpu.ops.raster_pallas as rp
+
+    w, h = 128, 64
+    n = 16384  # 256 blocks of 64, twice the patched 128-block cap
+    rng = np.random.default_rng(3)
+    # every triangle overlaps the same tile: all blocks bin into tile 0
+    base = rng.uniform(-0.9, -0.2, size=(n, 2)).astype(np.float32)
+    z = rng.uniform(0.2, 0.8, size=n).astype(np.float32)
+    tris = np.zeros((n, 3, 4), np.float32)
+    tris[:, :, 3] = 1.0
+    for k in range(3):
+        tris[:, k, 0] = base[:, 0] + 0.02 * (k == 1)
+        tris[:, k, 1] = base[:, 1] + 0.02 * (k == 2)
+        tris[:, k, 2] = z
+    clip = jnp.asarray(tris)
+    valid = jnp.ones((n,), bool)
+    old = rp.MAX_BLOCKS_PER_TILE
+    try:
+        rp.MAX_BLOCKS_PER_TILE = 128  # the 128-entry floor (SMEM row quantum)
+        over = int(rp.bin_overflow_tiles(clip, valid, w, h, cull_backface=False))
+        assert over >= 1, "setup failed to overflow any tile"
+        got = rp.rasterize_pallas(
+            clip, valid, w, h, cull_backface=False, interpret=True
+        )
+    finally:
+        rp.MAX_BLOCKS_PER_TILE = old
+    want = rasterize(clip, valid, w, h, cull_backface=False)
+    assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all()
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(want.depth), atol=1e-6
+    )

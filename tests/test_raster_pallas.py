@@ -208,3 +208,42 @@ def test_bin_overflow_walk_all_path():
     np.testing.assert_allclose(
         np.asarray(got.depth), np.asarray(want.depth), atol=1e-6
     )
+
+
+def test_random_soups_property():
+    """Property test over random triangle soups (mixed sizes, depths,
+    windings, some w-crossing): Pallas tri_id/depth must match the XLA
+    fallback exactly at capacities that exercise multi-block bins and the
+    per-block triangle bitmasks."""
+    w, h = 256, 64
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        n = 1024
+        center = rng.uniform(-1.2, 1.2, size=(n, 2)).astype(np.float32)
+        size = rng.uniform(0.01, 0.5, size=(n, 1)).astype(np.float32)
+        z = rng.uniform(0.05, 0.95, size=(n, 1)).astype(np.float32)
+        offs = rng.uniform(-1.0, 1.0, size=(n, 3, 2)).astype(np.float32)
+        tris = np.zeros((n, 3, 4), np.float32)
+        tris[:, :, :2] = center[:, None, :] + size[:, None, :] * offs
+        tris[:, :, 2] = z
+        tris[:, :, 3] = 1.0
+        # a few triangles get w != 1 (perspective) and a few cross w ~ 0
+        pw = rng.uniform(0.5, 2.0, size=(n,)).astype(np.float32)
+        tris[:, :, 3] *= pw[:, None]
+        tris[:, :, :3] *= pw[:, None, None]
+        cross = rng.random(n) < 0.02
+        tris[cross, 0, 3] = -0.1  # one vertex behind the eye
+        clip = jnp.asarray(tris)
+        valid = jnp.asarray(rng.random(n) < 0.9)
+        for cull in (True, False):
+            got = rasterize_pallas(
+                clip, valid, w, h, cull_backface=cull, interpret=True,
+                with_bary=False,
+            )
+            want = rasterize(clip, valid, w, h, cull_backface=cull)
+            assert (np.asarray(got.tri_id) == np.asarray(want.tri_id)).all(), (
+                seed, cull,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.depth), np.asarray(want.depth), atol=1e-5
+            )

@@ -42,7 +42,6 @@ TILE_W = 128
 # -> 76/41/33/31/33 ms — larger DMA units win even though block bboxes
 # loosen (the per-triangle scalar bbox reject absorbs the waste).
 BLOCK = 64
-GROUP = 8  # triangles processed per loop iteration (one sublane group)
 # f32 record columns per triangle: 23 used, padded to 32 so four records
 # tile one physical 128-lane row — the (T, 32) table is stored reshaped as
 # (T//4, 128), Mosaic DMAs stay 128-lane aligned, and each 64-triangle

@@ -290,14 +290,20 @@ def shade_pbr(
             slot = lights.shadow_slot[li]
             casts = (slot >= 0) & on
             ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
-            occl = shadow_occlusion(
-                world, ndl_geom, light_mats[li],
-                shadow_depth[jnp.maximum(slot, 0)],
-                normal=n_geom,
-                is_point=~lights.directional[li],
-                light_pos=lights.position[li],
+            # cond, not where: a light with no shadow slot must SKIP the
+            # whole 2M-pixel lookup at runtime, not compute-and-mask it
+            occl = jax.lax.cond(
+                casts,
+                lambda: shadow_occlusion(
+                    world, ndl_geom, light_mats[li],
+                    shadow_depth[jnp.maximum(slot, 0)],
+                    normal=n_geom,
+                    is_point=~lights.directional[li],
+                    light_pos=lights.position[li],
+                ),
+                lambda: jnp.ones((1,) + world.shape[1:], jnp.float32),
             )
-            radiance = radiance * jnp.where(casts, occl, 1.0)
+            radiance = radiance * occl
         contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance
         color = color + jnp.where(on, contrib, 0.0)
 

@@ -278,7 +278,18 @@ def render_shadow_atlas_per_light(
             pad = jnp.ones((slot_size - 3 * fh, slot_size), jnp.float32)
             return jnp.concatenate([grid, pad], axis=0)
 
-        return jax.lax.cond(is_point, point, directional, operand=None)
+        def empty(_):
+            # unclaimed slot: SKIP the whole cull+expand+raster at runtime
+            # (an inactive slot once rendered an all-empty stream anyway —
+            # ~1/3 of the shadow pass at the bench's one-light config)
+            return jnp.ones((slot_size, slot_size), jnp.float32)
+
+        return jax.lax.cond(
+            active,
+            lambda _: jax.lax.cond(is_point, point, directional, operand=None),
+            empty,
+            operand=None,
+        )
 
     return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
 
@@ -314,81 +325,141 @@ def shadow_occlusion(
     if light_pos is None:
         light_pos = jnp.zeros((3,), jnp.float32)
 
-    if normal is not None:
-        # directional: one shadow texel's world size from the ortho scale
-        # (||row0[:3]|| = 1/half_w); point: fov-90 face spans 2*dist over fh
-        row_norm = jnp.linalg.norm(light_mat[0, 0, :3]) + 1e-12
-        texel_dir = 2.0 / (row_norm * s)
-        dvec = world - light_pos[:, None, None]
-        dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0, keepdims=True))
-        texel_pt = 2.0 * dist / fh
-        texel_world = jnp.where(is_point, texel_pt, texel_dir)
-        world = world + normal * (texel_world * normal_offset_texels)
-
-    # cube face per pixel (point path); directional forces face 0
-    d_l = world - light_pos[:, None, None]
-    ax, ay, az = jnp.abs(d_l[0]), jnp.abs(d_l[1]), jnp.abs(d_l[2])
-    face = jnp.where(
-        (ax >= ay) & (ax >= az),
-        jnp.where(d_l[0] >= 0, 0, 1),
-        jnp.where(
-            ay >= az,
-            jnp.where(d_l[1] >= 0, 2, 3),
-            jnp.where(d_l[2] >= 0, 4, 5),
-        ),
-    )
-    face = jnp.where(is_point, face, 0)
-
-    # blend the selected face's matrix per pixel, then one projection
-    hcf = jnp.concatenate([world, jnp.ones((1,) + world.shape[1:], jnp.float32)], axis=0)
-    clip = []
-    for i in range(4):
-        plane = 0.0
-        for jj in range(4):
-            coeff = 0.0
-            for f in range(6):
-                coeff = coeff + jnp.where(face == f, light_mat[f, i, jj], 0.0)
-            plane = plane + coeff * hcf[jj]
-        clip.append(plane)
-    w = jnp.where(jnp.abs(clip[3]) > 1e-9, clip[3], 1e-9)
-    u = (clip[0] / w + 1.0) * 0.5
-    v = (1.0 - clip[1] / w) * 0.5
-    d = clip[2] / w
-    inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (d >= 0) & (d <= 1)
-
+    # shared: slope-scaled bias term (receiver-independent of the branch)
     slope = jnp.sqrt(jnp.maximum(1.0 - ndl[0] ** 2, 0.0)) / jnp.maximum(ndl[0], 1e-2)
-    ref_d = d - (bias + slope_bias * jnp.minimum(slope, 4.0))
+    bias_term = bias + slope_bias * jnp.minimum(slope, 4.0)
+    h_, w_ = world.shape[1:]
+    p_ = h_ * w_
 
-    # texel coords: full slot (directional) or the face's sub-rect (point)
-    col = face % 2
-    row = face // 2
-    tx_dir = u * s - 0.5
-    ty_dir = v * s - 0.5
-    tx_pt = col * fw + u * fw - 0.5
-    ty_pt = row * fh + v * fh - 0.5
-    tx = jnp.where(is_point, tx_pt, tx_dir)
-    ty = jnp.where(is_point, ty_pt, ty_dir)
-    # PCF clamp bounds: the slot, or the face rect (no cross-face bleed)
-    x_lo = jnp.where(is_point, col * fw, 0)
-    x_hi = jnp.where(is_point, col * fw + fw - 1, s - 1)
-    y_lo = jnp.where(is_point, row * fh, 0)
-    y_hi = jnp.where(is_point, row * fh + fh - 1, s - 1)
+    def _pcf(tx, ty, ref_d, inside, x_lo, x_hi, y_lo, y_hi, xn, yn):
+        """2x2 PCF via a per-texel quad table: ONE row-gather per pixel
+        replaces FOUR 1-wide gathers (1-wide gathers run at ~6x the
+        per-index cost; the four-tap form measured ~190 ms/frame for two
+        lights at 1080p). The table's +1 neighbors are pre-clamped (slot
+        edge or cube-face rect); bases clamped up from BELOW a bound
+        collapse both taps onto the edge texel, reproduced exactly by the
+        px_in/py_in selects."""
+        x0 = jnp.floor(tx).astype(jnp.int32)
+        y0 = jnp.floor(ty).astype(jnp.int32)
+        fx = tx - x0
+        fy = ty - y0
+        d10_img = slot_depth[:, xn]
+        d01_img = slot_depth[yn, :]
+        d11_img = d01_img[:, xn]
+        quad = jnp.stack(
+            [
+                slot_depth.reshape(-1),
+                d10_img.reshape(-1),
+                d01_img.reshape(-1),
+                d11_img.reshape(-1),
+            ],
+            axis=0,
+        )  # (4, S*S) contiguous rows
+        eye4 = jnp.eye(4, dtype=jnp.float32)
+        quad_rows = jax.lax.dot_general(
+            quad, eye4, (((0,), (0,)), ((), ())), precision="highest"
+        )  # (S*S, 4) row-major
+        x0c = jnp.clip(x0, x_lo, x_hi)
+        y0c = jnp.clip(y0, y_lo, y_hi)
+        rows = quad_rows[(y0c * s + x0c).reshape(p_)]  # (P, 4) — THE gather
+        r = [rows[:, k].reshape(h_, w_) for k in range(4)]
+        px_in = x0 >= x_lo
+        py_in = y0 >= y_lo
+        t00 = r[0]
+        t10 = jnp.where(px_in, r[1], r[0])
+        t01 = jnp.where(py_in, r[2], r[0])
+        t11 = jnp.where(
+            px_in & py_in, r[3],
+            jnp.where(px_in, r[1], jnp.where(py_in, r[2], r[0])),
+        )
 
-    x0 = jnp.floor(tx).astype(jnp.int32)
-    y0 = jnp.floor(ty).astype(jnp.int32)
-    fx = tx - x0
-    fy = ty - y0
+        def lit_of(sample):
+            return (ref_d <= sample).astype(jnp.float32)
 
-    def tap(xo, yo):
-        xi = jnp.clip(x0 + xo, x_lo, x_hi)
-        yi = jnp.clip(y0 + yo, y_lo, y_hi)
-        sample = slot_depth[yi, xi]
-        return (ref_d <= sample).astype(jnp.float32)
+        lit = (
+            lit_of(t00) * (1 - fx) * (1 - fy)
+            + lit_of(t10) * fx * (1 - fy)
+            + lit_of(t01) * (1 - fx) * fy
+            + lit_of(t11) * fx * fy
+        )
+        return jnp.where(inside, lit, 1.0)
 
-    lit = (
-        tap(0, 0) * (1 - fx) * (1 - fy)
-        + tap(1, 0) * fx * (1 - fy)
-        + tap(0, 1) * (1 - fx) * fy
-        + tap(1, 1) * fx * fy
-    )
-    return jnp.where(inside, lit, 1.0)[None]  # (1, H, W)
+    ar = jnp.arange(s, dtype=jnp.int32)
+
+    def _directional():
+        """Full-slot lookup through face matrix 0: no per-pixel face
+        select, no 6-matrix blend (96 (H,W) ops), no distance sqrt."""
+        if normal is not None:
+            row_norm = jnp.linalg.norm(light_mat[0, 0, :3]) + 1e-12
+            texel_dir = 2.0 / (row_norm * s)
+            w2 = world + normal * (texel_dir * normal_offset_texels)
+        else:
+            w2 = world
+        m = light_mat[0]
+        clip = [
+            m[i, 0] * w2[0] + m[i, 1] * w2[1] + m[i, 2] * w2[2] + m[i, 3]
+            for i in range(4)
+        ]
+        w = jnp.where(jnp.abs(clip[3]) > 1e-9, clip[3], 1e-9)
+        u = (clip[0] / w + 1.0) * 0.5
+        v = (1.0 - clip[1] / w) * 0.5
+        d = clip[2] / w
+        inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (d >= 0) & (d <= 1)
+        ref_d = d - bias_term
+        xn = jnp.minimum(ar + 1, s - 1)
+        return _pcf(
+            u * s - 0.5, v * s - 0.5, ref_d, inside, 0, s - 1, 0, s - 1, xn, xn
+        )
+
+    def _point():
+        """Cube-face lookup: per-pixel face select inside the slot's 2x3
+        face grid, PCF clamped to the face rect (no cross-face bleed)."""
+        if normal is not None:
+            dvec = world - light_pos[:, None, None]
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0, keepdims=True))
+            texel_pt = 2.0 * dist / fh
+            w2 = world + normal * (texel_pt * normal_offset_texels)
+        else:
+            w2 = world
+        d_l = w2 - light_pos[:, None, None]
+        ax, ay, az = jnp.abs(d_l[0]), jnp.abs(d_l[1]), jnp.abs(d_l[2])
+        face = jnp.where(
+            (ax >= ay) & (ax >= az),
+            jnp.where(d_l[0] >= 0, 0, 1),
+            jnp.where(
+                ay >= az,
+                jnp.where(d_l[1] >= 0, 2, 3),
+                jnp.where(d_l[2] >= 0, 4, 5),
+            ),
+        )
+        # blend the selected face's matrix per pixel, then one projection
+        hcf = jnp.concatenate(
+            [w2, jnp.ones((1,) + w2.shape[1:], jnp.float32)], axis=0
+        )
+        clip = []
+        for i in range(4):
+            plane = 0.0
+            for jj in range(4):
+                coeff = 0.0
+                for f in range(6):
+                    coeff = coeff + jnp.where(face == f, light_mat[f, i, jj], 0.0)
+                plane = plane + coeff * hcf[jj]
+            clip.append(plane)
+        w = jnp.where(jnp.abs(clip[3]) > 1e-9, clip[3], 1e-9)
+        u = (clip[0] / w + 1.0) * 0.5
+        v = (1.0 - clip[1] / w) * 0.5
+        d = clip[2] / w
+        inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (d >= 0) & (d <= 1)
+        ref_d = d - bias_term
+        col = face % 2
+        row = face // 2
+        xn = jnp.minimum(ar + 1, (ar // fw) * fw + fw - 1)
+        yn = jnp.minimum(ar + 1, (ar // fh) * fh + fh - 1)
+        return _pcf(
+            col * fw + u * fw - 0.5, row * fh + v * fh - 0.5, ref_d, inside,
+            col * fw, col * fw + fw - 1, row * fh, row * fh + fh - 1, xn, yn,
+        )
+
+    # cond, not where: a directional light must not pay the point path's
+    # per-pixel face blend and vice versa
+    return jax.lax.cond(is_point, _point, _directional)[None]  # (1, H, W)

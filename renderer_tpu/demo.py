@@ -100,6 +100,12 @@ def main(argv=None):
         "(ref: the reference_rt A/B blit)",
     )
     ap.add_argument("--ssaa", type=int, default=1, help="supersampling factor (MSAA parity)")
+    ap.add_argument(
+        "--shade-rate", default="full", choices=("full", "checkerboard"),
+        help="shade sample rate: checkerboard shades the (x+y)-even "
+        "half-lattice exactly and reconstructs the rest from same-triangle "
+        "neighbors (quality knob; ~20%% faster frames at the bench)",
+    )
     ap.add_argument("--hud", action="store_true", help="print the stats HUD")
     ap.add_argument(
         "--dump-graphs", action="store_true",
@@ -147,6 +153,7 @@ def main(argv=None):
             width=args.size, height=args.size, tri_capacity=16384,
             use_pallas=args.pallas, skinning=(args.scene == "skinned"),
             ssaa=args.ssaa,
+            shade_rate=args.shade_rate,
             spmd_devices=max(args.spmd, 1),
             pallas_interpret=(args.pallas and jax.devices()[0].platform != "tpu"),
         ),

@@ -1116,20 +1116,29 @@ def build_shade_records(
 
 def unproject_depth(
     depth: jnp.ndarray, viewproj_inv: jnp.ndarray, width: int, height: int,
-    y0: int = 0, full_height: int = None,
+    y0: int = 0, full_height: int = None, px: jnp.ndarray = None,
+    py: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """(H, W) depth + inverse viewproj -> CHANNEL-FIRST (3, H, W) world
     positions.
 
     Replaces storing per-triangle world positions in the draw stream: pure
-    per-pixel math, no gathers. y0/full_height support row-sharded images."""
+    per-pixel math, no gathers. y0/full_height support row-sharded images.
+    px/py (same shape as depth) override the implicit pixel-center grid with
+    explicit ABSOLUTE full-image pixel-center coordinates (y0 is then
+    ignored) — the checkerboard shade tier samples a non-contiguous pixel
+    subset through the same math."""
     h, w = depth.shape
     if full_height is None:
         full_height = h
-    col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
-    row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + jnp.asarray(y0, jnp.float32) + 0.5
-    x = col / width * 2.0 - 1.0
-    y = 1.0 - row / full_height * 2.0
+    if px is None:
+        px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
+        py = (
+            jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            + jnp.asarray(y0, jnp.float32) + 0.5
+        )
+    x = px / width * 2.0 - 1.0
+    y = 1.0 - py / full_height * 2.0
     # plane-at-a-time FMAs (no stacked (4, H, W) intermediate + einsum)
     m = viewproj_inv
     planes = [m[i, 0] * x + m[i, 1] * y + m[i, 2] * depth + m[i, 3] for i in range(4)]

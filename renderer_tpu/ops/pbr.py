@@ -97,6 +97,12 @@ def shade_pbr(
     # hard-codes 2 lights (gltf_mesh.frag); the Renderer auto-sets this to
     # the scene's live light count so dead table slots skip their GGX.
     light_slots: int = None,
+    # checkerboard shade tier (PipelineConfig.shade_rate): run the whole
+    # per-pixel pipeline on the (x+y)-even half-lattice packed to (H, W/2)
+    # — halving the two index-rate-bound record/texture gathers that
+    # dominate this pass — and reconstruct the complement from
+    # same-triangle cardinal neighbors (see _checkerboard_expand)
+    checkerboard: bool = False,
     _upto: str = None,  # diagnostic DCE prefix: "gather"|"interp"|"tex"
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
@@ -114,12 +120,48 @@ def shade_pbr(
         unproject_depth,
     )
 
-    covered = vis.tri_id != NO_TRIANGLE
-    safe_id = jnp.maximum(vis.tri_id, 0)
+    fh_, fw_ = vis.depth.shape  # full framebuffer dims
+    if checkerboard:
+        # Pack the shaded half-lattice ((x + y_abs) even) to (H, W/2):
+        # x = 2*j + ((y + y0) & 1). Shaded pixels run the EXACT math at
+        # their true pixel centers via explicit px/py; y0 keeps the
+        # pattern globally consistent across SPMD row shards.
+        assert fw_ % 2 == 0
+        h_, w_ = fh_, fw_ // 2
+        rowpar = (
+            jax.lax.broadcasted_iota(jnp.int32, (h_, 1), 0)
+            + jnp.asarray(y0, jnp.int32)
+        ) & 1
 
-    h_, w_ = vis.depth.shape
+        def _pack(a):  # full (H, W) -> shaded lattice (H, W/2)
+            return jnp.where(rowpar == 0, a[:, 0::2], a[:, 1::2])
+
+        depth_in = _pack(vis.depth)
+        tri_in = _pack(vis.tri_id)
+        px = (
+            2.0 * jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1)
+            + rowpar.astype(jnp.float32) + 0.5
+        )
+        py = (
+            jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
+            + jnp.asarray(y0, jnp.float32) + 0.5
+        )
+        bary_in = (
+            None if bary_from_records
+            else jnp.stack([_pack(vis.bary[c]) for c in range(3)])
+        )
+    else:
+        h_, w_ = fh_, fw_
+        depth_in, tri_in = vis.depth, vis.tri_id
+        px = py = None  # implicit pixel-center grid
+        bary_in = vis.bary
+
+    covered = tri_in != NO_TRIANGLE
+    safe_id = jnp.maximum(tri_in, 0)
+
     world = unproject_depth(
-        vis.depth, viewproj_inv, w_, h_, y0=y0, full_height=full_height
+        depth_in, viewproj_inv, fw_, fh_, y0=y0, full_height=full_height,
+        px=px, py=py,
     )  # (3, H, W)
 
     # THE gather: one contiguous 512-byte row per pixel, then ONE
@@ -161,11 +203,12 @@ def shade_pbr(
         # visibility-buffer style: evaluate the winner's edge functions at
         # the pixel center (same expression the rasterizer used); the raster
         # kernel then only stores depth+id
-        px = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5
-        py = (
-            jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
-            + jnp.asarray(y0, jnp.float32) + 0.5
-        )
+        if px is None:
+            px = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5
+            py = (
+                jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
+                + jnp.asarray(y0, jnp.float32) + 0.5
+            )
         pxf = px.reshape(p_)
         pyf = py.reshape(p_)
         # flat (P,) row math over the contiguous SR_EDGE rows — an
@@ -187,7 +230,7 @@ def shade_pbr(
         b1 = b1.reshape(h_, w_)
         b2 = b2.reshape(h_, w_)
     else:
-        b0, b1, b2 = vis.bary[0], vis.bary[1], vis.bary[2]
+        b0, b1, b2 = bary_in[0], bary_in[1], bary_in[2]
 
     if _upto == "gather":  # records gather + bary + unproject only
         return jnp.sum(cols_t[0]) + jnp.sum(b0) + jnp.sum(world)
@@ -309,4 +352,67 @@ def shade_pbr(
 
     bg = jnp.asarray(background, jnp.float32)[:, None, None]
     color = jnp.where(covered[None], color, bg)
+    if checkerboard:
+        color = _checkerboard_expand(
+            color, vis.tri_id, tri_in, covered, rowpar, bg
+        )
     return jnp.moveaxis(color, 0, -1)  # (H, W, 3) only at the boundary
+
+
+def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg):
+    """(3, H, W/2) shaded half-lattice -> (3, H, W) full frame.
+
+    Each missing pixel ((x + y) odd) averages its four cardinal neighbors —
+    all of which are shaded — weighted by same-triangle membership, so edges
+    never bleed across surfaces; covered-neighbor average is the fallback
+    when no neighbor shares the pixel's triangle (sub-pixel slivers), and
+    uncovered pixels take the background exactly. Interior error is the
+    discrete Laplacian of a smooth shading signal (the reconstruction is
+    exact for any locally-linear color field)."""
+    par0 = rowpar == 0
+    # the complement lattice's own ids (the pixels being reconstructed)
+    tri_u = jnp.where(par0, tri_full[:, 1::2], tri_full[:, 0::2])
+    cov_u = tri_u != NO_TRIANGLE
+
+    def up(a):  # neighbor (y-1, x): same packed column, previous row
+        return jnp.concatenate([a[..., :1, :], a[..., :-1, :]], axis=-2)
+
+    def dn(a):
+        return jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+
+    def left(a):  # (y, x-1): packed j on parity-0 rows, j-1 on parity-1
+        jm1 = jnp.concatenate([a[..., :, :1], a[..., :, :-1]], axis=-1)
+        return jnp.where(par0, a, jm1)
+
+    def right(a):
+        jp1 = jnp.concatenate([a[..., :, 1:], a[..., :, -1:]], axis=-1)
+        return jnp.where(par0, jp1, a)
+
+    num = jnp.zeros_like(shaded)
+    den = jnp.zeros(tri_u.shape, jnp.float32)
+    numc = jnp.zeros_like(shaded)
+    denc = jnp.zeros(tri_u.shape, jnp.float32)
+    for sh in (up, dn, left, right):
+        nb_t = sh(tri_s)
+        nb_cov = sh(cov_s)
+        nb_c = sh(shaded)
+        w_same = ((nb_t == tri_u) & nb_cov).astype(jnp.float32)
+        num = num + nb_c * w_same[None]
+        den = den + w_same
+        numc = numc + nb_c * nb_cov.astype(jnp.float32)[None]
+        denc = denc + nb_cov.astype(jnp.float32)
+    recon = jnp.where(
+        (den > 0)[None],
+        num / jnp.maximum(den, 1.0)[None],
+        jnp.where((denc > 0)[None], numc / jnp.maximum(denc, 1.0)[None], bg),
+    )
+    recon = jnp.where(cov_u[None], recon, bg)
+    # interleave the two half-lattices back to full width with
+    # interior-padded lax.pads — a stack-to-(H, W/2, 2) would pad its
+    # minor dim 2 -> 128 physically (PERF.md layout law)
+    even = jnp.where(par0, shaded, recon)
+    odd = jnp.where(par0, recon, shaded)
+    zero = jnp.float32(0)
+    return jax.lax.pad(
+        even, zero, ((0, 0, 0), (0, 0, 0), (0, 1, 1))
+    ) + jax.lax.pad(odd, zero, ((0, 0, 0), (0, 0, 0), (1, 0, 1)))

@@ -59,6 +59,12 @@ class PipelineConfig:
     # measured ~1.5 ms/slot at 1080p). Lights are table-prefix-packed by
     # SceneBuilder, so a prefix bound shades every live light.
     shade_light_slots: int = None
+    # shade sample rate (quality knob like `trilinear`): "full" shades every
+    # pixel; "checkerboard" shades the (x+y)-even half-lattice exactly and
+    # reconstructs the rest from same-triangle neighbors (ops/pbr.py
+    # _checkerboard_expand) — halves the two index-rate-bound 2M-row
+    # gathers that dominate the shade pass. PBR path only.
+    shade_rate: str = "full"
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -75,6 +81,10 @@ class PipelineConfig:
 
     def __post_init__(self):
         assert self.tri_capacity % 128 == 0, "tri_capacity must be 128-aligned"
+        assert self.shade_rate in ("full", "checkerboard")
+        if self.shade_rate != "full":
+            assert self.shading == "pbr", "shade_rate tiers are PBR-only"
+            assert self.width * self.ssaa % 2 == 0
         if self.use_pallas:
             assert self.width % 128 == 0 and self.height % 32 == 0, (
                 "pallas raster needs width%128==0, height%32==0"
@@ -438,6 +448,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 bary_from_records=cfg.use_pallas,
                 y0=y0, full_height=fh,
                 light_slots=cfg.shade_light_slots,
+                checkerboard=(cfg.shade_rate == "checkerboard"),
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,

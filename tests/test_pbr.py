@@ -94,3 +94,48 @@ def test_normal_map_tilts_shading():
     tilted = np.full((16, 16, 4), [255, 128, 128, 255], np.uint8)  # strong +T tilt
     img_tilt = render(flat_plane_scene(roughness=1.0, normal_tex=tilted))
     assert img_tilt[16, 16].mean() < img_flat[16, 16].mean() - 0.05
+
+
+def test_checkerboard_shade_tier():
+    """shade_rate="checkerboard" (PipelineConfig): the shaded half-lattice
+    ((x+y) even) must match the full-rate image to float-fusion noise (same
+    math at the same pixel coordinates, just packed — XLA fusion shapes
+    shift contraction order by ~1 ulp), and the reconstructed complement
+    must track it closely (PSNR gate)."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.models import textured_scene
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+    from renderer_tpu.scene import SceneLimits
+
+    scene = textured_scene(SceneLimits.tiny(), atlas_size=32)
+    cam = Camera.create(
+        position=jnp.array([0.0, 1.2, 4.0]), fov_y=0.9, near=0.1, far=60.0
+    )
+
+    def render(rate):
+        cfg = PipelineConfig(
+            width=128, height=64, tri_capacity=4096,
+            use_pallas=True, pallas_interpret=True, shading="pbr",
+            shade_rate=rate,
+        )
+        r = Renderer(scene, cfg, outputs=("image",))
+        return np.asarray(r.render(cam)["image"])
+
+    full = render("full")
+    cb = render("checkerboard")
+    assert np.isfinite(cb).all()
+
+    yy, xx = np.mgrid[0:64, 0:128]
+    shaded = (xx + yy) % 2 == 0
+    np.testing.assert_allclose(cb[shaded], full[shaded], atol=1e-6)
+
+    # 128x64 is edge/texel-dominated (triangles are a few pixels wide), the
+    # worst case for neighbor reconstruction — the 1080p bench frame
+    # measures far higher (see PERF.md); _checkerboard_expand is exact for
+    # locally-linear fields (interiors) by construction
+    mse = np.mean((cb - full) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 28.0, psnr

@@ -336,8 +336,8 @@ def _raster_kernel(
     list_sem,  # DMA sem
     mask_smem,  # (2*n_blocks'//128, 128) i32 SMEM
     mask_sem,  # DMA sem
-    buf,  # (2, BLOCK*ROWS//128, 128) f32 SMEM — scalar-read triangle records
-    sem,  # (2,) DMA sems
+    buf,  # (4, BLOCK*ROWS//128, 128) f32 SMEM — scalar-read triangle records
+    sem,  # (4,) DMA sems (paired visits: two DMAs in flight per pair)
     lam0_ref,  # (TILE_H, TILE_W) f32 VMEM — unnormalized winning barycentrics
     lam1_ref,
     lsum_ref,
@@ -409,15 +409,32 @@ def _raster_kernel(
 
     @pl.when(count > 0)
     def _():
+        # PAIRED visits: each loop iteration consumes TWO bin-list entries
+        # (4 SMEM slots, two DMAs in flight per direction) — halves the
+        # fori_loop + prefetch-branch overhead per visit. Entries past
+        # `count` are safe to visit: the argsort-compacted list's tail
+        # holds non-overlapping block ids whose per-tile masks are all
+        # zero (skipped), and the small-scene zero padding re-visits block
+        # 0, which is idempotent (identical z_num/w_i lose the strict
+        # depth compare).
         start_dma(0, 0).start()
+        start_dma(1, 1).start()
+        pairs = (count + 1) // 2
 
-        def body(i, _):
-            slot = jax.lax.rem(i, 2)
+        def body(p, _):
+            s0 = 2 * jax.lax.rem(p, 2)  # this pair's slots: s0, s0+1
 
-            @pl.when(i + 1 < count)
+            @pl.when(p + 1 < pairs)
             def _():
-                start_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+                nxt = 2 * (p + 1)
+                start_dma(nxt, 2 - s0).start()
+                start_dma(nxt + 1, 3 - s0).start()
 
+            visit(2 * p, s0)
+            visit(2 * p + 1, s0 + 1)
+            return 0
+
+        def visit(i, slot):
             # wait for this block's stripe
             blk = block_id(i)
             pltpu.make_async_copy(
@@ -541,9 +558,7 @@ def _raster_kernel(
             def _():
                 run_block(False)
 
-            return 0
-
-        jax.lax.fori_loop(0, count, body, 0)
+        jax.lax.fori_loop(0, (count + 1) // 2, body, 0)
 
     # epilogue: resolve the rationals ONCE per tile (order matters — depth
     # reads znum/wden which alias the b0/b1 output buffers)
@@ -637,8 +652,8 @@ def rasterize_pallas(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((masks.shape[1] // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SMEM((2, BLOCK * ROWS // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((4, BLOCK * ROWS // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),

@@ -1127,11 +1127,12 @@ def unproject_depth(
     px/py (same shape as depth) override the implicit pixel-center grid with
     explicit ABSOLUTE full-image pixel-center coordinates (y0 is then
     ignored) — the checkerboard shade tier samples a non-contiguous pixel
-    subset through the same math."""
-    h, w = depth.shape
+    subset through the same math, and the flat-(P,) shade path passes
+    flat-built coordinates (depth may then be any shape)."""
     if full_height is None:
-        full_height = h
+        full_height = depth.shape[0]
     if px is None:
+        h, w = depth.shape
         px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
         py = (
             jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)

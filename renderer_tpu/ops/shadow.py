@@ -295,11 +295,11 @@ def render_shadow_atlas_per_light(
 
 
 def shadow_occlusion(
-    world: jnp.ndarray,      # (3, H, W) channel-first
-    ndl: jnp.ndarray,        # (1, H, W) clamped n.l for slope-scaled bias
+    world: jnp.ndarray,      # (3, ...) channel-first — (H, W) image or (P,) flat
+    ndl: jnp.ndarray,        # (1, ...) clamped n.l for slope-scaled bias
     light_mat: jnp.ndarray,  # (6, 4, 4) face matrices, or (4, 4) directional
     slot_depth: jnp.ndarray,  # (S, S)
-    normal: jnp.ndarray = None,  # (3, H, W) geometric normal (normal-offset)
+    normal: jnp.ndarray = None,  # (3, ...) geometric normal (normal-offset)
     is_point=False,          # traced bool: cube-face lookup
     light_pos: jnp.ndarray = None,  # (3,) for the point path
     bias: float = 1e-3,
@@ -328,8 +328,7 @@ def shadow_occlusion(
     # shared: slope-scaled bias term (receiver-independent of the branch)
     slope = jnp.sqrt(jnp.maximum(1.0 - ndl[0] ** 2, 0.0)) / jnp.maximum(ndl[0], 1e-2)
     bias_term = bias + slope_bias * jnp.minimum(slope, 4.0)
-    h_, w_ = world.shape[1:]
-    p_ = h_ * w_
+    tail = world.shape[1:]  # (H, W) image or (P,) flat — shape-generic
 
     def _pcf(tx, ty, ref_d, inside, x_lo, x_hi, y_lo, y_hi, xn, yn):
         """2x2 PCF via a per-texel quad table: ONE row-gather per pixel
@@ -361,8 +360,8 @@ def shadow_occlusion(
         )  # (S*S, 4) row-major
         x0c = jnp.clip(x0, x_lo, x_hi)
         y0c = jnp.clip(y0, y_lo, y_hi)
-        rows = quad_rows[(y0c * s + x0c).reshape(p_)]  # (P, 4) — THE gather
-        r = [rows[:, k].reshape(h_, w_) for k in range(4)]
+        rows = quad_rows[(y0c * s + x0c).reshape(-1)]  # (P, 4) — THE gather
+        r = [rows[:, k].reshape(tail) for k in range(4)]
         px_in = x0 >= x_lo
         py_in = y0 >= y_lo
         t00 = r[0]
@@ -414,14 +413,15 @@ def shadow_occlusion(
     def _point():
         """Cube-face lookup: per-pixel face select inside the slot's 2x3
         face grid, PCF clamped to the face rect (no cross-face bleed)."""
+        lp = light_pos.reshape((3,) + (1,) * len(tail))
         if normal is not None:
-            dvec = world - light_pos[:, None, None]
+            dvec = world - lp
             dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0, keepdims=True))
             texel_pt = 2.0 * dist / fh
             w2 = world + normal * (texel_pt * normal_offset_texels)
         else:
             w2 = world
-        d_l = w2 - light_pos[:, None, None]
+        d_l = w2 - lp
         ax, ay, az = jnp.abs(d_l[0]), jnp.abs(d_l[1]), jnp.abs(d_l[2])
         face = jnp.where(
             (ax >= ay) & (ax >= az),

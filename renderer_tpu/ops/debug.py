@@ -40,6 +40,10 @@ def aabb_soup(
 
     Boxes are built in object space from the mesh AABB so the instance's
     model matrix applies directly (same path as real geometry)."""
+    from renderer_tpu.ops.geometry import mats44
+
+    clip_mats = mats44(clip_mats)
+    model = mats44(model)
     inst = scene.instances
     n = inst.mesh_id.shape[0]
     mn = scene.meshes.mesh_aabb_min[inst.mesh_id]  # (N, 3)

@@ -98,8 +98,8 @@ def soup_from_draw_list(
     nrm = lib.normals[vidx]
     uv = lib.uvs[vidx]
     tan = lib.tangents[vidx]
-    m_clip = clip_mats[dl.owner]
-    m_model = model[dl.owner]
+    m_clip = mats44(clip_mats)[dl.owner]
+    m_model = mats44(model)[dl.owner]
     ones = jnp.ones(pos.shape[:-1] + (1,), pos.dtype)
     hpos = jnp.concatenate([pos, ones], axis=-1)
     clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
@@ -130,6 +130,7 @@ def coarse_cull(scene: Scene, model: jnp.ndarray, viewproj: jnp.ndarray) -> jnp.
     """Instance-level frustum cull on world-space AABBs -> (N,) bool visible.
     Ref: cull_pipeline.rs:99-120 coarse_culling (CPU par_for_each)."""
     inst = scene.instances
+    model = mats44(model)
     mn = scene.meshes.mesh_aabb_min[inst.mesh_id]
     mx = scene.meshes.mesh_aabb_max[inst.mesh_id]
     wmin, wmax = mathx.transform_aabb(model, mn, mx)
@@ -146,6 +147,7 @@ def select_lod(
     """Distance-based LOD per instance -> (N,) i32 in [0, MAX_LODS).
     Ref: helpers.rs:3-11 (LOD pick by camera distance)."""
     inst = scene.instances
+    model = mats44(model)
     center = (scene.meshes.mesh_aabb_min + scene.meshes.mesh_aabb_max) * 0.5
     c = center[inst.mesh_id]
     world_c = jnp.einsum("nij,nj->ni", model[:, :3, :3], c, precision="highest") + model[:, :3, 3]
@@ -202,15 +204,15 @@ def expand_draw_stream(
         # so the two-phase-vs-legacy property holds exactly)
         n = scene.instances.mesh_id.shape[0]
         rec = lib.tri_rec[tri_idx]
-        mm = clip_mats.reshape(n, 16)[owner]
+        mm = mats16(clip_mats)[owner]
         clip = _clip_mat(rec, mm)
     else:
         pos = lib.positions[vidx]  # (T, 3, 3)
-        m_clip = clip_mats[owner]  # (T, 4, 4)
+        m_clip = mats44(clip_mats)[owner]  # (T, 4, 4)
         ones = jnp.ones(pos.shape[:-1] + (1,), pos.dtype)
         hpos = jnp.concatenate([pos, ones], axis=-1)  # (T, 3, 4)
         clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
-    m_model = model[owner]
+    m_model = mats44(model)[owner]
     # normals/tangents: rotate by the linear part (uniform scale => no inverse
     # transpose needed; renormalized in shading)
     wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm, precision="highest")
@@ -309,7 +311,7 @@ def expand_cull_sort_two_phase(
     tri_idx = jnp.where(valid, tri_base + local, 0)
     vidx = lib.indices[tri_idx]
     pos = lib.positions[vidx]
-    m_clip = clip_mats[owner]
+    m_clip = mats44(clip_mats)[owner]
     hpos = jnp.concatenate([pos, jnp.ones(pos.shape[:-1] + (1,), pos.dtype)], -1)
     clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
 
@@ -353,7 +355,7 @@ def expand_cull_sort_two_phase(
     nrm = lib.normals[vidx_s]
     uv = lib.uvs[vidx_s]
     tan = lib.tangents[vidx_s]
-    m_model = model[owner_s]
+    m_model = mats44(model)[owner_s]
     wnrm = jnp.einsum("tij,tnj->tni", m_model[:, :3, :3], nrm, precision="highest")
     wtan_xyz = jnp.einsum(
         "tij,tnj->tni", m_model[:, :3, :3], tan[..., :3], precision="highest"
@@ -427,6 +429,25 @@ def _rows_from_cols(cols: list) -> jnp.ndarray:
     return jax.lax.dot_general(
         c, eye, (((0,), (0,)), ((), ())), precision="highest"
     )  # (E, k)
+
+
+def mats16(m: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) flat row form of per-instance matrices; accepts (N, 4, 4).
+
+    The flat form is the canonical layout of the `prepared` tuple: a
+    materialized (N, 4, 4) tiles its trailing (4, 4) dims to (8, 128) — 32x
+    physical pad — so every downstream `.reshape(n, 16)` was a relayout
+    copy (concatenate.28 alone cost 0.38 ms/frame at the 1080p bench)."""
+    return m if m.ndim == 2 else m.reshape(m.shape[0], 16)
+
+
+def mats44(m: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4, 4) view for matrix-math consumers; accepts flat (N, 16).
+
+    One relayout per frame at most — used only by feature paths that do
+    genuine per-instance matrix algebra (occlusion re-cull, per-light
+    shadow/rt setup, debug AABBs, the freeze re-transform)."""
+    return m if m.ndim == 3 else m.reshape(m.shape[0], 4, 4)
 
 
 def _clip_cols(rec: jnp.ndarray, mm: jnp.ndarray, rt=None, mt=None) -> list:
@@ -551,7 +572,7 @@ def _cluster_slot_map(
     # (their degenerate det is NOT exactly 0 under FMA contraction)
     real_count = cdt[CL_COUNT].astype(jnp.int32)
     if camera_pos is not None:
-        mt = model.reshape(n, 16)[owner_c].T  # (16, E_c)
+        mt = mats16(model)[owner_c].T  # (16, E_c)
         sc = inst.scale[owner_c]
         c0, c1, c2 = cdt[CL_CENTER], cdt[CL_CENTER + 1], cdt[CL_CENTER + 2]
         cw = [mt[4 * i] * c0 + mt[4 * i + 1] * c1 + mt[4 * i + 2] * c2 + mt[4 * i + 3]
@@ -641,9 +662,10 @@ def prepare_frame_columns(scene: Scene, camera: Camera):
 
     The einsum formulation materializes (N,4,4)/(N,3) intermediates whose
     trailing dims pad to (8,128) tiles; every quantity here is an (N,)
-    column, and the (N,4,4) matrices are stacked ONCE at the end for
-    consumers that need them. Returns the pipeline's `prepared` tuple:
-    (model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv,
+    column, and the matrices are stacked ONCE at the end in FLAT (N, 16)
+    form (mats16 — the cull path consumes flat rows; matrix-math consumers
+    take a mats44 view). Returns the pipeline's `prepared` tuple:
+    (model16, vp, clip16, visible, lod, scene_min, scene_max, vp_inv,
     camera_position)."""
     from renderer_tpu.mathx.camera import camera_matrices, frustum_planes
 
@@ -720,11 +742,12 @@ def prepare_frame_columns(scene: Scene, camera: Camera):
         [jnp.max(jnp.where(alive, cw[k] + ew[k], -big)) for k in range(3)]
     )
 
-    # materialize the (N, 4, 4) forms once for matrix consumers
+    # materialize FLAT (N, 16) forms (see mats16): the cull path consumes
+    # flat rows directly; (N, 4, 4) views are made per-consumer (mats44)
     n = s.shape[0]
     bottom = [jnp.zeros((n,), jnp.float32)] * 3 + [jnp.ones((n,), jnp.float32)]
-    model = jnp.stack(m[0] + m[1] + m[2] + bottom, axis=-1).reshape(n, 4, 4)
-    clip_mats = jnp.stack(clip_cols, axis=-1).reshape(n, 4, 4)
+    model = jnp.stack(m[0] + m[1] + m[2] + bottom, axis=-1)  # (N, 16)
+    clip_mats = jnp.stack(clip_cols, axis=-1)  # (N, 16)
     vp_inv = jnp.linalg.inv(vp)
     return (
         model, vp, clip_mats, visible, lod, scene_min, scene_max, vp_inv,
@@ -750,12 +773,12 @@ def expand_clip_only(
     owner, tri_idx, valid, total = _slot_map(scene, visible, lod, capacity)
     if lib.tri_rec is not None:
         rec = lib.tri_rec[tri_idx]
-        mm = clip_mats.reshape(n, 16)[owner]
+        mm = mats16(clip_mats)[owner]
         clip = _clip_mat(rec, mm)
     else:
         vidx = lib.indices[tri_idx]
         pos = lib.positions[vidx]
-        m_clip = clip_mats[owner]
+        m_clip = mats44(clip_mats)[owner]
         hpos = jnp.concatenate([pos, jnp.ones(pos.shape[:-1] + (1,), pos.dtype)], -1)
         clip = jnp.einsum("tij,tnj->tni", m_clip, hpos, precision="highest")
     count = jnp.minimum(total, capacity).astype(jnp.int32)
@@ -814,7 +837,7 @@ def build_draw_stream(
         )
         # --- phase A: positions only, column math ---------------------------
         rec = lib.tri_rec[tri_idx]  # (E, 36) — THE wide gather
-        mm = clip_mats.reshape(n, 16)[owner]  # (E, 16)
+        mm = mats16(clip_mats)[owner]  # (E, 16)
         cc = _clip_cols(rec, mm)
     else:
         tc = jnp.where(visible, lib.lod_tri_count[inst.mesh_id, lod], 0)
@@ -827,7 +850,7 @@ def build_draw_stream(
             # base_i[owner] gather (measured 1.9 ms/frame at E=262k)
             # disappears. f32 carries base_i exactly below 2^24.
             g = jnp.concatenate(
-                [clip_mats.reshape(n, 16), base_i.astype(jnp.float32)[:, None]],
+                [mats16(clip_mats), base_i.astype(jnp.float32)[:, None]],
                 axis=1,
             )  # (N, 17)
             gt = _t_cols(g[owner])  # (17, E): clip-matrix columns + base
@@ -839,7 +862,7 @@ def build_draw_stream(
         else:
             tri_idx = jnp.where(valid, base_i[owner] + (slots - start), 0)
             rec = lib.tri_rec[tri_idx]
-            mm = clip_mats.reshape(n, 16)[owner]
+            mm = mats16(clip_mats)[owner]
             cc = _clip_cols(rec, mm)
     x = [cc[0], cc[4], cc[8]]
     y = [cc[1], cc[5], cc[9]]
@@ -926,8 +949,8 @@ def build_draw_stream(
     )  # (K, 11) — matches SR_BASE..SR_NM_LAYER order
     g2 = jnp.concatenate(
         [
-            clip_mats.reshape(n, 16),
-            model.reshape(n, 16),
+            mats16(clip_mats),
+            mats16(model),
             mat_rec[inst.material_id],  # (N, 11)
         ],
         axis=1,

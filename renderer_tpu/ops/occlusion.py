@@ -56,6 +56,9 @@ def occlusion_cull(
     one conservative 2x2-texel max lookup decides occlusion.
     Returns visible & ~occluded (N,).
     """
+    from renderer_tpu.ops.geometry import mats44
+
+    model = mats44(model)
     viewproj = viewproj_prev
     h, w = prev_depth.shape
     pyramid = build_depth_pyramid(prev_depth, levels)

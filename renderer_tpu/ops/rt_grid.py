@@ -312,12 +312,14 @@ def rt_shadow_grid(
     its major-axis face — tiles whose pixels face elsewhere have empty
     receiver bboxes, so the six traversals together touch about one
     screen's worth of tiles."""
-    from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
+    from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only, mats44
     from renderer_tpu.ops.shadow import (
         CUBE_FACE_DIRS,
         CUBE_FACE_UPS,
         lod_by_distance,
     )
+
+    model = mats44(model)
     from renderer_tpu.mathx.camera import look_at, perspective
 
     lights = scene.lights

@@ -135,6 +135,9 @@ def lod_by_distance(scene, model: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarra
     light_position, mesh_position)), so near-light/far-camera casters shadow
     at full detail. Same coverage formula as the camera pick
     (geometry.prepare_frame_columns) with the light as the eye."""
+    from renderer_tpu.ops.geometry import mats44
+
+    model = mats44(model)
     lib = scene.meshes
     inst = scene.instances
     mn = lib.mesh_aabb_min[inst.mesh_id]  # (N, 3)
@@ -225,8 +228,9 @@ def render_shadow_atlas_per_light(
     rasterization is two-sided. use_pallas runs the tile kernel per pass
     (measured at the 1080p/10k bench, 4x512^2 slots, 64k caster capacity:
     2530 -> ~ms-scale vs the XLA scan rasterizer)."""
-    from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only
+    from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only, mats44
 
+    model = mats44(model)
     fw, fh = slot_size // 2, slot_size // 4  # cube face viewport
 
     def _raster(clip, valid, count, w, h):

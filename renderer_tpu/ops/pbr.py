@@ -103,6 +103,10 @@ def shade_pbr(
     # dominate this pass — and reconstruct the complement from
     # same-triangle cardinal neighbors (see _checkerboard_expand)
     checkerboard: bool = False,
+    # SPMD mesh axis name when the framebuffer is row-sharded: the
+    # checkerboard reconstruction exchanges its shard-edge neighbor rows
+    # over ICI (see _halo_rows) so sharded == single-device exactly
+    halo_axis: str = None,
     _upto: str = None,  # diagnostic DCE prefix: "gather"|"interp"|"tex"
 ) -> jnp.ndarray:
     from renderer_tpu.ops.geometry import (
@@ -354,12 +358,42 @@ def shade_pbr(
     color = jnp.where(covered[None], color, bg)
     if checkerboard:
         color = _checkerboard_expand(
-            color, vis.tri_id, tri_in, covered, rowpar, bg
+            color, vis.tri_id, tri_in, covered, rowpar, bg,
+            halo_axis=halo_axis,
         )
     return jnp.moveaxis(color, 0, -1)  # (H, W, 3) only at the boundary
 
 
-def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg):
+def _halo_rows(a, halo_axis):
+    """(above_row, below_row) of shape (..., 1, W2) for the packed lattice.
+
+    Single-device (halo_axis None): clamp rows — the array's own first/last
+    row (the global image edge behavior). Under SPMD row sharding the shard
+    edge is an INTERIOR image row, so the true neighbor rows live on the
+    adjacent shards: one ppermute each way exchanges them over ICI (~one
+    row of traffic), and the global top/bottom shards substitute the clamp
+    row (ppermute delivers zeros where no source maps)."""
+    up_row = a[..., :1, :]
+    dn_row = a[..., -1:, :]
+    if halo_axis is None:
+        return up_row, dn_row
+    n = jax.lax.axis_size(halo_axis)
+    if n == 1:
+        return up_row, dn_row
+    i = jax.lax.axis_index(halo_axis)
+    from_above = jax.lax.ppermute(
+        dn_row, halo_axis, [(k, k + 1) for k in range(n - 1)]
+    )  # shard i receives shard i-1's LAST row; shard 0 gets zeros
+    from_below = jax.lax.ppermute(
+        up_row, halo_axis, [(k + 1, k) for k in range(n - 1)]
+    )  # shard i receives shard i+1's FIRST row; shard n-1 gets zeros
+    above = jnp.where(i == 0, up_row, from_above)
+    below = jnp.where(i == n - 1, dn_row, from_below)
+    return above, below
+
+
+def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg,
+                         halo_axis=None):
     """(3, H, W/2) shaded half-lattice -> (3, H, W) full frame.
 
     Each missing pixel ((x + y) odd) averages its four cardinal neighbors —
@@ -368,23 +402,32 @@ def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg):
     when no neighbor shares the pixel's triangle (sub-pixel slivers), and
     uncovered pixels take the background exactly. Interior error is the
     discrete Laplacian of a smooth shading signal (the reconstruction is
-    exact for any locally-linear color field)."""
+    exact for any locally-linear color field).
+
+    halo_axis: SPMD mesh axis name when the image is row-sharded — the
+    up/dn neighbor rows at shard edges are exchanged with the adjacent
+    shards (_halo_rows) so the sharded frame is IDENTICAL to the
+    single-device one (tests/test_parallel.py asserts it)."""
     par0 = rowpar == 0
     # the complement lattice's own ids (the pixels being reconstructed)
     tri_u = jnp.where(par0, tri_full[:, 1::2], tri_full[:, 0::2])
     cov_u = tri_u != NO_TRIANGLE
 
-    def up(a):  # neighbor (y-1, x): same packed column, previous row
-        return jnp.concatenate([a[..., :1, :], a[..., :-1, :]], axis=-2)
+    halos = {}
+    for name, arr in (("tri", tri_s), ("cov", cov_s), ("col", shaded)):
+        halos[name] = _halo_rows(arr, halo_axis)
 
-    def dn(a):
-        return jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+    def up(a, key):  # neighbor (y-1, x): same packed column, previous row
+        return jnp.concatenate([halos[key][0], a[..., :-1, :]], axis=-2)
 
-    def left(a):  # (y, x-1): packed j on parity-0 rows, j-1 on parity-1
+    def dn(a, key):
+        return jnp.concatenate([a[..., 1:, :], halos[key][1]], axis=-2)
+
+    def left(a, key=None):  # (y, x-1): packed j on parity-0 rows, j-1 on parity-1
         jm1 = jnp.concatenate([a[..., :, :1], a[..., :, :-1]], axis=-1)
         return jnp.where(par0, a, jm1)
 
-    def right(a):
+    def right(a, key=None):
         jp1 = jnp.concatenate([a[..., :, 1:], a[..., :, -1:]], axis=-1)
         return jnp.where(par0, jp1, a)
 
@@ -393,9 +436,9 @@ def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg):
     numc = jnp.zeros_like(shaded)
     denc = jnp.zeros(tri_u.shape, jnp.float32)
     for sh in (up, dn, left, right):
-        nb_t = sh(tri_s)
-        nb_cov = sh(cov_s)
-        nb_c = sh(shaded)
+        nb_t = sh(tri_s, "tri")
+        nb_cov = sh(cov_s, "cov")
+        nb_c = sh(shaded, "col")
         w_same = ((nb_t == tri_u) & nb_cov).astype(jnp.float32)
         num = num + nb_c * w_same[None]
         den = den + w_same

@@ -449,6 +449,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 y0=y0, full_height=fh,
                 light_slots=cfg.shade_light_slots,
                 checkerboard=(cfg.shade_rate == "checkerboard"),
+                halo_axis=axis if SP else None,
             )
         img = shading.shade_lambert(
             vis, soup, scene, camera.position, viewproj_inv=vp_inv,

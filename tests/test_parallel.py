@@ -140,3 +140,29 @@ def test_spmd_rt_and_hud_switches():
     # the panel darkened the top-left corner
     base = _render(scene, True, mesh)
     assert img[6, 6].mean() < np.asarray(base["image"])[6, 6].mean() + 1e-6
+
+
+def test_spmd_checkerboard_shade_tier():
+    """shade_rate="checkerboard" under SPMD: the reconstruction's up/dn
+    neighbor rows at shard edges are interior image rows, exchanged with the
+    adjacent shards over one ppermute each way (ops/pbr._halo_rows) — the
+    row-sharded frame must equal the single-device frame exactly (before the
+    fix, the clamped shard edges diverged by up to 8e-3 on boundary rows)."""
+    scene = small_scene()
+    mesh = make_mesh()
+
+    def render(spmd):
+        cfg = PipelineConfig(
+            width=WIDTH, height=HEIGHT, tri_capacity=8192,
+            use_pallas=True, pallas_interpret=True, shading="pbr",
+            shade_rate="checkerboard",
+            spmd_devices=8 if spmd else 1,
+        )
+        r = Renderer(
+            scene, cfg, outputs=("image",), spmd_mesh=mesh if spmd else None
+        )
+        return np.asarray(r.render(camera())["image"])
+
+    out1 = render(False)
+    out8 = render(True)
+    np.testing.assert_allclose(out1, out8, atol=2e-6)

@@ -435,6 +435,8 @@ def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg,
     den = jnp.zeros(tri_u.shape, jnp.float32)
     numc = jnp.zeros_like(shaded)
     denc = jnp.zeros(tri_u.shape, jnp.float32)
+    nb_min = jnp.full_like(shaded, jnp.inf)
+    nb_max = jnp.full_like(shaded, -jnp.inf)
     for sh in (up, dn, left, right):
         nb_t = sh(tri_s, "tri")
         nb_cov = sh(cov_s, "cov")
@@ -444,9 +446,20 @@ def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg,
         den = den + w_same
         numc = numc + nb_c * nb_cov.astype(jnp.float32)[None]
         denc = denc + nb_cov.astype(jnp.float32)
+        same = w_same != 0.0
+        nb_min = jnp.where(same[None], jnp.minimum(nb_min, nb_c), nb_min)
+        nb_max = jnp.where(same[None], jnp.maximum(nb_max, nb_c), nb_max)
+    # den == 4: per-channel TRIMMED mean (drop min and max). Exact for every
+    # linear color field — the four cardinal neighbors of a lattice point
+    # come in symmetric pairs (c±dx, c±dy), so the middle two always sum to
+    # 2c — while a single-neighbor specular spike (the dominant checkerboard
+    # error: unclamped GGX highlights) no longer leaks into the pixel.
+    # den < 4 keeps the plain same-triangle mean.
+    trimmed = (num - nb_min - nb_max) * 0.5
+    mean = num / jnp.maximum(den, 1.0)[None]
     recon = jnp.where(
         (den > 0)[None],
-        num / jnp.maximum(den, 1.0)[None],
+        jnp.where((den == 4.0)[None], trimmed, mean),
         jnp.where((denc > 0)[None], numc / jnp.maximum(denc, 1.0)[None], bg),
     )
     recon = jnp.where(cov_u[None], recon, bg)

@@ -801,7 +801,7 @@ def build_draw_stream(
     vp=None,          # (4,4) viewproj — scene carries cluster_data
 ):
     """Fused expansion + per-triangle cull + Morton sort + shade-record
-    build. Returns (TriangleSoup, (T, 128) shade records).
+    build. Returns (TriangleSoup, (T, SR_COLS) shade records).
 
     Fast path requires scene.meshes.tri_rec (invalidated by the pose pass);
     otherwise falls back to the gather-per-corner implementation. With
@@ -947,14 +947,23 @@ def build_draw_stream(
         ],
         axis=1,
     )  # (K, 11) — matches SR_BASE..SR_NM_LAYER order
-    g2 = jnp.concatenate(
+    # build the (N, 43) table via column rows + ONE transposing dot: a
+    # minor-axis concat of the three pieces wrote 33 lane-strided (N, k)
+    # sub-copies, each read-modify-writing the padded 128-lane tiles
+    # (concatenate.28 = 0.36 ms/frame at the 1080p bench); dense (43, N)
+    # row writes + the MXU transpose cost ~0.05 ms
+    g2t = jnp.concatenate(
         [
-            mats16(clip_mats),
-            mats16(model),
-            mat_rec[inst.material_id],  # (N, 11)
+            _t_cols(mats16(clip_mats)),
+            _t_cols(mats16(model)),
+            _t_cols(mat_rec[inst.material_id]),  # (11, N)
         ],
-        axis=1,
-    )  # (N, 43)
+        axis=0,
+    )  # (43, N) contiguous rows
+    g2 = jax.lax.dot_general(
+        g2t, jnp.eye(g2t.shape[0], dtype=jnp.float32),
+        (((0,), (0,)), ((), ())), precision="highest",
+    )  # (N, 43) row-major
     gt2 = _t_cols(g2[owner_s])  # (43, T)
     rts = _t_cols(rec_s)  # (36, T): positions, normals, uvs, tangents
     mts_clip = gt2[:16]  # (16, T)
@@ -1079,8 +1088,8 @@ def build_draw_stream(
 ## shade-record packing ------------------------------------------------------
 # Deferred shading would otherwise do ~37 independent (H,W)-sized gathers
 # (corner attrs, material scalars). Packing everything a pixel needs into ONE
-# 128-float row per triangle makes shading a single contiguous row-gather:
-# (H*W, 128) output is exactly (8,128)-tile aligned — no padding, no latency-
+# 64-float row per triangle makes shading a single contiguous row-gather:
+# the (H*W, 64) output is lane-aligned (two rows per physical 128-lane row),
 # bound scalar gathers. Column layout:
 SR_NORMAL = 0    # 0..8   corner normals (c0.xyz, c1.xyz, c2.xyz)
 SR_UV = 9        # 9..14  corner uvs
@@ -1099,13 +1108,17 @@ SR_NM_LAYER = 39
 # depth+id (visibility-buffer style). λ/Σλ is scale-invariant, so no
 # facing-sign fixup is needed.
 SR_EDGE = 40
-SR_COLS = 128
+# 49 used columns, padded to 64: two records tile one physical 128-lane row,
+# the 2M-index shade gather moves half the bytes of the old 128-wide rows,
+# and the selector dot's K shrinks 2x (measured -0.4 ms/frame at 1080p; a
+# 49-wide row was +6 ms — rows must stay lane-aligned, PERF.md round-3).
+SR_COLS = 64
 
 
 def build_shade_records(
     soup: TriangleSoup, scene: Scene, render_size=None
 ) -> jnp.ndarray:
-    """(T, 128) f32 shade records (see column table above). Built AFTER
+    """(T, SR_COLS) f32 shade records (see column table above). Built AFTER
     compaction so nothing moves twice. render_size=(width, height) also
     packs SR_EDGE coefficients (needed when shading derives barycentrics
     from records — the Pallas depth+id-only raster path)."""

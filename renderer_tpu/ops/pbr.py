@@ -75,7 +75,7 @@ def _ggx_brdf(n, v, l, albedo, metallic, roughness):
 
 def shade_pbr(
     vis: VisibilityBuffer,
-    shade_rec: jnp.ndarray,  # (T, 128) records (geometry.build_shade_records)
+    shade_rec: jnp.ndarray,  # (T, SR_COLS) records (geometry.build_shade_records)
     scene: Scene,
     camera_pos: jnp.ndarray,
     viewproj_inv: jnp.ndarray = None,
@@ -168,34 +168,39 @@ def shade_pbr(
         px=px, py=py,
     )  # (3, H, W)
 
-    # THE gather: one contiguous 512-byte row per pixel, then ONE
+    # THE gather: one contiguous 256-byte row per pixel, then ONE
     # transposing selector dot (rows of the identity, exact f32) to a
     # (45, P) column table. The dot pins the gather's row-major layout
     # (same firewall as geometry._t_cols) and every later column read is a
     # free contiguous row instead of a lane-strided slice of the 1 GB
     # (H, W, 128) block — each consumer fusion re-scanned that whole block
     # before (~8 ms/frame at 1080p, PERF.md round-3).
-    # Row ORDER groups the 8 interpolated attributes per corner into three
-    # contiguous blocks, so barycentric interpolation is ONE fused
-    # (8, P) FMA instead of ~12 per-attribute slice fusions (measured
-    # ~0.115 ms per fusion at 1080p).
+    # Row ORDER groups rows by CONSUMER ACCESS PATTERN so each extraction
+    # fusion reads only the (8,128)-tile sublane rows it needs:
+    # - 0..23: the 8 interpolated attributes per corner, three contiguous
+    #   blocks — barycentric interpolation is ONE fused (8, P) FMA instead
+    #   of ~12 per-attribute slice fusions (~0.115 ms each at 1080p);
+    # - 24..29 flat scalars + 30..38 edge coefficients: everything consumed
+    #   as individual (P,) rows sits in two adjacent sublane tile-rows, so
+    #   the multi-output row-extraction fusion reads ~1/3 of the table
+    #   instead of scanning all 45 rows (was 0.89 ms at 1080p);
+    # - 39..44: the two (3, P) block reads (base color, emissive) last.
     _corner = lambda c: (
         [SR_NORMAL + 3 * c + k for k in range(3)]
         + [SR_UV + 2 * c, SR_UV + 2 * c + 1]
         + [SR_TANGENT + 4 * c + k for k in range(3)]
     )
     _const = (
-        [SR_TEXLOD]
-        + [SR_BASE + k for k in range(3)]
-        + [SR_METALLIC, SR_ROUGH]
-        + [SR_EMISSIVE + k for k in range(3)]
-        + [SR_BC_LAYER, SR_NM_LAYER, SR_TANGENT + 3]
+        [SR_TEXLOD, SR_METALLIC, SR_ROUGH, SR_BC_LAYER, SR_NM_LAYER,
+         SR_TANGENT + 3]
         + [SR_EDGE + k for k in range(9)]
+        + [SR_BASE + k for k in range(3)]
+        + [SR_EMISSIVE + k for k in range(3)]
     )
     order = _corner(0) + _corner(1) + _corner(2) + _const
     c_off = 24  # first constant row
     p_ = h_ * w_
-    rows = shade_rec[safe_id.reshape(p_)]  # (P, 128) row-major gather
+    rows = shade_rec[safe_id.reshape(p_)]  # (P, SR_COLS) row-major gather
     sel = np.zeros((len(order), shade_rec.shape[-1]), np.float32)
     sel[np.arange(len(order)), np.array(order)] = 1.0
     cols_t = jax.lax.dot_general(
@@ -218,7 +223,7 @@ def shade_pbr(
         # flat (P,) row math over the contiguous SR_EDGE rows — an
         # (3, 3, P)-shaped formulation padded its sublane dim 3 -> 8 and
         # materialized ~1 ms/frame of slice+reshape at 1080p
-        e = lambda k: cols_t[c_off + 12 + k]  # (P,) contiguous row
+        e = lambda k: cols_t[c_off + 6 + k]  # (P,) contiguous row
         lam0 = e(0) * pxf + e(1) * pyf + e(2)
         lam1 = e(3) * pxf + e(4) * pyf + e(5)
         lam2 = e(6) * pxf + e(7) * pyf + e(8)
@@ -253,10 +258,10 @@ def shade_pbr(
     tex_lod = col(SR_TEXLOD)
 
     # contiguous row-block reads (no per-channel stacks)
-    base_factor = cols_t[c_off + 1 : c_off + 4].reshape(3, h_, w_)
+    base_factor = cols_t[c_off + 15 : c_off + 18].reshape(3, h_, w_)
     metallic = col(SR_METALLIC)[None]
     roughness = col(SR_ROUGH)[None]
-    emissive = cols_t[c_off + 6 : c_off + 9].reshape(3, h_, w_)
+    emissive = cols_t[c_off + 18 : c_off + 21].reshape(3, h_, w_)
     bc_layer = col(SR_BC_LAYER).astype(jnp.int32)
     nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
 

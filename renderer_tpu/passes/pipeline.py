@@ -167,7 +167,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     g.resource("scene_view", desc="scene after the pose pass (skinned verts)")
     g.resource("prepared", desc="(model, viewproj, clip_mats, visible, lod)")
     g.resource("soup", desc="post-cull transformed triangle stream (transient)")
-    g.resource("shade_rec", desc="(T,128) packed per-triangle shade records")
+    g.resource("shade_rec", desc="(T,SR_COLS) packed per-triangle shade records")
     g.resource(
         "draw_list",
         persistent=True,

@@ -252,6 +252,34 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _bin_blocks_from_masks(masks, n_blocks):
+    """Per-tile block lists derived from the per-triangle bit masks.
+
+    A block belongs in a tile's list iff ANY of its triangles' bbox
+    tile-intervals contain the tile — i.e. its 64-bit mask is nonzero. This
+    is strictly tighter than _bin_blocks's bbox-UNION overlap (a block's
+    union bbox can overlap a tile no individual triangle touches: such
+    visits used to DMA the records and occupy list slots just to skip on
+    the empty mask), and it drops the separate per-block min/max bbox
+    reduction + overlap compare entirely — the masks already exist for the
+    kernel's per-triangle bit test."""
+    n_tiles = masks.shape[0]
+    w0 = masks[:, 0 : 2 * n_blocks : 2]  # (n_tiles, n_blocks)
+    w1 = masks[:, 1 : 2 * n_blocks : 2]
+    flat = (w0 | w1) != 0
+    maxb = min(_round_up(max(n_blocks, 1), 128), MAX_BLOCKS_PER_TILE)
+    block_count = jnp.sum(flat, axis=1, dtype=jnp.int32)
+    block_list = jnp.argsort(~flat, axis=1, stable=True)[:, :maxb].astype(
+        jnp.int32
+    )
+    if block_list.shape[1] < maxb:  # small scenes: n_blocks < 128-row quantum
+        block_list = jnp.pad(
+            block_list, ((0, 0), (0, maxb - block_list.shape[1]))
+        )
+    block_count = jnp.where(block_count > maxb, -1, block_count)
+    return block_list, block_count
+
+
 def _bin_tri_masks(bbox_ok, t_cap, width, height, y0=0):
     """Per-(tile, block) 64-bit triangle masks -> (n_tiles, 2*n_blocks') i32
     (n_blocks' 64-padded so rows are 128-lane aligned; [2b] = bits for
@@ -583,7 +611,8 @@ def bin_overflow_tiles(
     frame (those tiles silently degrade to walk-all-blocks: correct but a
     perf cliff; surfaced in the HUD so it's observable)."""
     _, bbox_ok, _ = _setup_tri_data(clip, valid, width, height, cull_backface)
-    _, block_count = _bin_blocks(bbox_ok, clip.shape[0], width, height)
+    masks = _bin_tri_masks(bbox_ok, clip.shape[0], width, height)
+    _, block_count = _bin_blocks_from_masks(masks, clip.shape[0] // BLOCK)
     return jnp.sum((block_count < 0).astype(jnp.int32))
 
 
@@ -620,9 +649,11 @@ def rasterize_pallas(
     tri_data, bbox_ok, simple = _setup_tri_data(
         clip, valid, width, full_height, cull_backface
     )
-    # tile grid covers only this shard's rows, offset by y0 in pixel space
-    block_list, block_count = _bin_blocks(bbox_ok, t_cap, width, height, y0=y0)
+    # tile grid covers only this shard's rows, offset by y0 in pixel space;
+    # the bin lists come FROM the masks (strictly tighter than bbox-union
+    # overlap, and one overlap computation instead of two)
     masks = _bin_tri_masks(bbox_ok, t_cap, width, height, y0=y0)
+    block_list, block_count = _bin_blocks_from_masks(masks, t_cap // BLOCK)
     # per-block fast-path flag: every LIVE triangle in the block is simple
     # (dead ones are rejected by their zero mask bits either way)
     block_simple = jnp.all(

@@ -106,6 +106,11 @@ def main(argv=None):
         "half-lattice exactly and reconstructs the rest from same-triangle "
         "neighbors (quality knob; ~20%% faster frames at the bench)",
     )
+    ap.add_argument(
+        "--no-shade-fix", action="store_true",
+        help="disable the checkerboard edge fix (exact sparse re-shade of "
+        "the worst reconstructed pixels; on by default)",
+    )
     ap.add_argument("--hud", action="store_true", help="print the stats HUD")
     ap.add_argument(
         "--dump-graphs", action="store_true",
@@ -154,6 +159,7 @@ def main(argv=None):
             use_pallas=args.pallas, skinning=(args.scene == "skinned"),
             ssaa=args.ssaa,
             shade_rate=args.shade_rate,
+            shade_fix=not args.no_shade_fix,
             spmd_devices=max(args.spmd, 1),
             pallas_interpret=(args.pallas and jax.devices()[0].platform != "tpu"),
         ),

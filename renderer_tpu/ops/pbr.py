@@ -103,6 +103,15 @@ def shade_pbr(
     # dominate this pass — and reconstruct the complement from
     # same-triangle cardinal neighbors (see _checkerboard_expand)
     checkerboard: bool = False,
+    # checkerboard edge fix: exactly re-shade the worst reconstructed pixels
+    # (same-triangle neighbor color spread ranks them; capacity ~P/32). The
+    # reconstruction's only real errors sit on triangle-edge pixels whose
+    # neighbors sample a different surface point; re-shading the top ~3%
+    # lifts the bench frame from 36.3 to 41.6 dB display-clamped — past the
+    # 40 dB BASELINE gate — for ~2 ms (measured: scripts/prof_cbfix.py).
+    # Skipped when rt/rt_grid shadows are active (the screen-tile rt kernels
+    # need the full 2D lattice).
+    shade_fix: bool = True,
     # SPMD mesh axis name when the framebuffer is row-sharded: the
     # checkerboard reconstruction exchanges its shard-edge neighbor rows
     # over ICI (see _halo_rows) so sharded == single-device exactly
@@ -160,213 +169,290 @@ def shade_pbr(
         px = py = None  # implicit pixel-center grid
         bary_in = vis.bary
 
-    covered = tri_in != NO_TRIANGLE
-    safe_id = jnp.maximum(tri_in, 0)
+    def _run(depth_in, tri_in, px, py, bary_in):
+        """The per-sample shading core on any 2D grid of samples.
 
-    world = unproject_depth(
-        depth_in, viewproj_inv, fw_, fh_, y0=y0, full_height=full_height,
-        px=px, py=py,
-    )  # (3, H, W)
+        px/py give explicit pixel-center coordinates (None = the implicit
+        full-framebuffer grid); every op is shape-generic, so the same
+        closure shades the full frame, the packed checkerboard lattice,
+        AND the sparse (8, K/8) suspect-pixel batch of the edge fix —
+        re-shaded pixels match the full-rate path by construction (same
+        expressions; only cross-shape fusion/FMA-contraction noise at the
+        ulp scale separates them)."""
+        h_, w_ = depth_in.shape
+        covered = tri_in != NO_TRIANGLE
+        safe_id = jnp.maximum(tri_in, 0)
 
-    # THE gather: one contiguous 256-byte row per pixel, then ONE
-    # transposing selector dot (rows of the identity, exact f32) to a
-    # (45, P) column table. The dot pins the gather's row-major layout
-    # (same firewall as geometry._t_cols) and every later column read is a
-    # free contiguous row instead of a lane-strided slice of the 1 GB
-    # (H, W, 128) block — each consumer fusion re-scanned that whole block
-    # before (~8 ms/frame at 1080p, PERF.md round-3).
-    # Row ORDER groups rows by CONSUMER ACCESS PATTERN so each extraction
-    # fusion reads only the (8,128)-tile sublane rows it needs:
-    # - 0..23: the 8 interpolated attributes per corner, three contiguous
-    #   blocks — barycentric interpolation is ONE fused (8, P) FMA instead
-    #   of ~12 per-attribute slice fusions (~0.115 ms each at 1080p);
-    # - 24..29 flat scalars + 30..38 edge coefficients: everything consumed
-    #   as individual (P,) rows sits in two adjacent sublane tile-rows, so
-    #   the multi-output row-extraction fusion reads ~1/3 of the table
-    #   instead of scanning all 45 rows (was 0.89 ms at 1080p);
-    # - 39..44: the two (3, P) block reads (base color, emissive) last.
-    _corner = lambda c: (
-        [SR_NORMAL + 3 * c + k for k in range(3)]
-        + [SR_UV + 2 * c, SR_UV + 2 * c + 1]
-        + [SR_TANGENT + 4 * c + k for k in range(3)]
-    )
-    _const = (
-        [SR_TEXLOD, SR_METALLIC, SR_ROUGH, SR_BC_LAYER, SR_NM_LAYER,
-         SR_TANGENT + 3]
-        + [SR_EDGE + k for k in range(9)]
-        + [SR_BASE + k for k in range(3)]
-        + [SR_EMISSIVE + k for k in range(3)]
-    )
-    order = _corner(0) + _corner(1) + _corner(2) + _const
-    c_off = 24  # first constant row
-    p_ = h_ * w_
-    rows = shade_rec[safe_id.reshape(p_)]  # (P, SR_COLS) row-major gather
-    sel = np.zeros((len(order), shade_rec.shape[-1]), np.float32)
-    sel[np.arange(len(order)), np.array(order)] = 1.0
-    cols_t = jax.lax.dot_general(
-        jnp.asarray(sel), rows, (((1,), (1,)), ((), ())),
-        precision="highest",
-    )  # (45, P)
-    col = lambda k: cols_t[c_off + _const.index(k)].reshape(h_, w_)
-    if bary_from_records:
-        # visibility-buffer style: evaluate the winner's edge functions at
-        # the pixel center (same expression the rasterizer used); the raster
-        # kernel then only stores depth+id
-        if px is None:
-            px = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5
-            py = (
-                jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
-                + jnp.asarray(y0, jnp.float32) + 0.5
+        world = unproject_depth(
+            depth_in, viewproj_inv, fw_, fh_, y0=y0,
+            # explicit: the sparse fix batch is (8, K/8)-shaped, so the
+            # depth-shape default would be wrong there
+            full_height=full_height if full_height is not None else fh_,
+            px=px, py=py,
+        )  # (3, H, W)
+
+        # THE gather: one contiguous 256-byte row per pixel, then ONE
+        # transposing selector dot (rows of the identity, exact f32) to a
+        # (45, P) column table. The dot pins the gather's row-major layout
+        # (same firewall as geometry._t_cols) and every later column read is a
+        # free contiguous row instead of a lane-strided slice of the 1 GB
+        # (H, W, 128) block — each consumer fusion re-scanned that whole block
+        # before (~8 ms/frame at 1080p, PERF.md round-3).
+        # Row ORDER groups rows by CONSUMER ACCESS PATTERN so each extraction
+        # fusion reads only the (8,128)-tile sublane rows it needs:
+        # - 0..23: the 8 interpolated attributes per corner, three contiguous
+        #   blocks — barycentric interpolation is ONE fused (8, P) FMA instead
+        #   of ~12 per-attribute slice fusions (~0.115 ms each at 1080p);
+        # - 24..29 flat scalars + 30..38 edge coefficients: everything consumed
+        #   as individual (P,) rows sits in two adjacent sublane tile-rows, so
+        #   the multi-output row-extraction fusion reads ~1/3 of the table
+        #   instead of scanning all 45 rows (was 0.89 ms at 1080p);
+        # - 39..44: the two (3, P) block reads (base color, emissive) last.
+        _corner = lambda c: (
+            [SR_NORMAL + 3 * c + k for k in range(3)]
+            + [SR_UV + 2 * c, SR_UV + 2 * c + 1]
+            + [SR_TANGENT + 4 * c + k for k in range(3)]
+        )
+        _const = (
+            [SR_TEXLOD, SR_METALLIC, SR_ROUGH, SR_BC_LAYER, SR_NM_LAYER,
+             SR_TANGENT + 3]
+            + [SR_EDGE + k for k in range(9)]
+            + [SR_BASE + k for k in range(3)]
+            + [SR_EMISSIVE + k for k in range(3)]
+        )
+        order = _corner(0) + _corner(1) + _corner(2) + _const
+        c_off = 24  # first constant row
+        p_ = h_ * w_
+        rows = shade_rec[safe_id.reshape(p_)]  # (P, SR_COLS) row-major gather
+        sel = np.zeros((len(order), shade_rec.shape[-1]), np.float32)
+        sel[np.arange(len(order)), np.array(order)] = 1.0
+        cols_t = jax.lax.dot_general(
+            jnp.asarray(sel), rows, (((1,), (1,)), ((), ())),
+            precision="highest",
+        )  # (45, P)
+        col = lambda k: cols_t[c_off + _const.index(k)].reshape(h_, w_)
+        if bary_from_records:
+            # visibility-buffer style: evaluate the winner's edge functions at
+            # the pixel center (same expression the rasterizer used); the raster
+            # kernel then only stores depth+id
+            if px is None:
+                px = jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5
+                py = (
+                    jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
+                    + jnp.asarray(y0, jnp.float32) + 0.5
+                )
+            pxf = px.reshape(p_)
+            pyf = py.reshape(p_)
+            # flat (P,) row math over the contiguous SR_EDGE rows — an
+            # (3, 3, P)-shaped formulation padded its sublane dim 3 -> 8 and
+            # materialized ~1 ms/frame of slice+reshape at 1080p
+            e = lambda k: cols_t[c_off + 6 + k]  # (P,) contiguous row
+            lam0 = e(0) * pxf + e(1) * pyf + e(2)
+            lam1 = e(3) * pxf + e(4) * pyf + e(5)
+            lam2 = e(6) * pxf + e(7) * pyf + e(8)
+            lsum = lam0 + lam1 + lam2
+            inv = 1.0 / jnp.where(lsum != 0.0, lsum, 1.0)
+            # materialize once: every interpolation consumes b, and without a
+            # barrier XLA re-derives the whole edge evaluation inside each
+            # consumer fusion (measured +16 ms at 1080p)
+            b0, b1, b2 = jax.lax.optimization_barrier(
+                (lam0 * inv, lam1 * inv, lam2 * inv)
             )
-        pxf = px.reshape(p_)
-        pyf = py.reshape(p_)
-        # flat (P,) row math over the contiguous SR_EDGE rows — an
-        # (3, 3, P)-shaped formulation padded its sublane dim 3 -> 8 and
-        # materialized ~1 ms/frame of slice+reshape at 1080p
-        e = lambda k: cols_t[c_off + 6 + k]  # (P,) contiguous row
-        lam0 = e(0) * pxf + e(1) * pyf + e(2)
-        lam1 = e(3) * pxf + e(4) * pyf + e(5)
-        lam2 = e(6) * pxf + e(7) * pyf + e(8)
-        lsum = lam0 + lam1 + lam2
-        inv = 1.0 / jnp.where(lsum != 0.0, lsum, 1.0)
-        # materialize once: every interpolation consumes b, and without a
-        # barrier XLA re-derives the whole edge evaluation inside each
-        # consumer fusion (measured +16 ms at 1080p)
-        b0, b1, b2 = jax.lax.optimization_barrier(
-            (lam0 * inv, lam1 * inv, lam2 * inv)
-        )
-        b0 = b0.reshape(h_, w_)
-        b1 = b1.reshape(h_, w_)
-        b2 = b2.reshape(h_, w_)
-    else:
-        b0, b1, b2 = bary_in[0], bary_in[1], bary_in[2]
+            b0 = b0.reshape(h_, w_)
+            b1 = b1.reshape(h_, w_)
+            b2 = b2.reshape(h_, w_)
+        else:
+            b0, b1, b2 = bary_in[0], bary_in[1], bary_in[2]
 
-    if _upto == "gather":  # records gather + bary + unproject only
-        return jnp.sum(cols_t[0]) + jnp.sum(b0) + jnp.sum(world)
+        if _upto == "gather":  # records gather + bary + unproject only
+            return jnp.sum(cols_t[0]) + jnp.sum(b0) + jnp.sum(world)
 
-    # ONE (8, P) FMA interpolates all corner attributes at once (the three
-    # contiguous corner blocks of cols_t; see `order` above)
-    b0p = b0.reshape(1, p_)
-    b1p = b1.reshape(1, p_)
-    b2p = b2.reshape(1, p_)
-    attrs = b0p * cols_t[0:8] + b1p * cols_t[8:16] + b2p * cols_t[16:24]
-    n_geom = _normalize_cf(attrs[0:3].reshape(3, h_, w_))
-    u = attrs[3].reshape(h_, w_)
-    v_ = attrs[4].reshape(h_, w_)
-    tangent = attrs[5:8].reshape(3, h_, w_)
-    tan_w = col(SR_TANGENT + 3)[None]  # handedness is per-triangle constant
-    tex_lod = col(SR_TEXLOD)
+        # ONE (8, P) FMA interpolates all corner attributes at once (the three
+        # contiguous corner blocks of cols_t; see `order` above)
+        b0p = b0.reshape(1, p_)
+        b1p = b1.reshape(1, p_)
+        b2p = b2.reshape(1, p_)
+        attrs = b0p * cols_t[0:8] + b1p * cols_t[8:16] + b2p * cols_t[16:24]
+        n_geom = _normalize_cf(attrs[0:3].reshape(3, h_, w_))
+        u = attrs[3].reshape(h_, w_)
+        v_ = attrs[4].reshape(h_, w_)
+        tangent = attrs[5:8].reshape(3, h_, w_)
+        tan_w = col(SR_TANGENT + 3)[None]  # handedness is per-triangle constant
+        tex_lod = col(SR_TEXLOD)
 
-    # contiguous row-block reads (no per-channel stacks)
-    base_factor = cols_t[c_off + 15 : c_off + 18].reshape(3, h_, w_)
-    metallic = col(SR_METALLIC)[None]
-    roughness = col(SR_ROUGH)[None]
-    emissive = cols_t[c_off + 18 : c_off + 21].reshape(3, h_, w_)
-    bc_layer = col(SR_BC_LAYER).astype(jnp.int32)
-    nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
+        # contiguous row-block reads (no per-channel stacks)
+        base_factor = cols_t[c_off + 15 : c_off + 18].reshape(3, h_, w_)
+        metallic = col(SR_METALLIC)[None]
+        roughness = col(SR_ROUGH)[None]
+        emissive = cols_t[c_off + 18 : c_off + 21].reshape(3, h_, w_)
+        bc_layer = col(SR_BC_LAYER).astype(jnp.int32)
+        nm_layer = col(SR_NM_LAYER).astype(jnp.int32)
 
-    if _upto == "interp":  # + all attribute interpolation, no texturing
-        return (
-            jnp.sum(n_geom) + jnp.sum(u) + jnp.sum(v_) + jnp.sum(tangent)
-            + jnp.sum(base_factor) + jnp.sum(metallic) + jnp.sum(roughness)
-            + jnp.sum(emissive) + jnp.sum(bc_layer) + jnp.sum(tex_lod)
-        )
-
-    if enable_textures:
-        bc = sample_atlas_cf(scene.atlas, bc_layer, u, v_, tex_lod, trilinear=trilinear)
-        albedo = base_factor * srgb_to_linear(bc[0:3])
-    else:
-        albedo = base_factor
-
-    if _upto == "tex":  # + base-color texture sampling
-        return jnp.sum(albedo)
-
-    if enable_textures and enable_normal_maps:
-        t = tangent
-        t = _normalize_cf(t - n_geom * _dot_cf(t, n_geom))
-        b = _cross_cf(n_geom, t) * tan_w
-        nm = sample_atlas_cf(scene.atlas, nm_layer, u, v_, tex_lod, trilinear=trilinear)
-        nx, ny, nz = nm[0] * 2 - 1, nm[1] * 2 - 1, nm[2] * 2 - 1
-        n_mapped = _normalize_cf(t * nx[None] + b * ny[None] + n_geom * nz[None])
-        n = jnp.where((nm_layer >= 0)[None], n_mapped, n_geom)
-    else:
-        n = n_geom
-
-    rt_occ_slots = None  # per-SLOT occlusion planes (grid or brute force)
-    if rt_grid is not None:
-        from renderer_tpu.ops.rt_grid import rt_shadow_grid
-
-        light_mats, lod_i, model, radius, caster_cap, n_slots, interp_flag = rt_grid
-        rt_occ_slots = rt_shadow_grid(
-            scene, world, n_geom, covered, light_mats, lod_i, model,
-            radius, caster_cap, n_slots, interpret=interp_flag,
-        )
-    elif rt is not None:
-        from renderer_tpu.ops.rt import rt_shadow_planes
-
-        tri_w, tri_v, tri_count, n_slots, rt_scale = rt
-        rt_occ_slots = rt_shadow_planes(
-            world, n_geom, scene.lights, tri_w, tri_v, tri_count, n_slots,
-            rt_scale,
-        )
-
-    v = _normalize_cf(camera_pos[:, None, None] - world)
-    lights = scene.lights
-    color = albedo * ambient + emissive
-    n_slots_shaded = lights.alive.shape[0]
-    if light_slots is not None:
-        n_slots_shaded = min(light_slots, n_slots_shaded)
-    for li in range(n_slots_shaded):
-        on = lights.alive[li]
-        to_light = jnp.where(
-            lights.directional[li],
-            -lights.position[li][:, None, None] * jnp.ones_like(world),
-            lights.position[li][:, None, None] - world,
-        )
-        dist2 = _dot_cf(to_light, to_light)
-        l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
-        atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
-        radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)
-        if rt_occ_slots is not None:
-            # any shadow-slot light traces (the grid path runs point lights
-            # per cube face; the brute-force fallback fills point slots with
-            # 1.0, so the multiply is a no-op there)
-            slot = lights.shadow_slot[li]
-            use = (slot >= 0) & on
-            occ_l = rt_occ_slots[jnp.maximum(slot, 0)]
-            radiance = radiance * jnp.where(use, occ_l, 1.0)[None]
-        if shadow is not None:
-            from renderer_tpu.ops.shadow import shadow_occlusion
-
-            shadow_depth, light_mats = shadow
-            slot = lights.shadow_slot[li]
-            casts = (slot >= 0) & on
-            ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
-            # cond, not where: a light with no shadow slot must SKIP the
-            # whole 2M-pixel lookup at runtime, not compute-and-mask it
-            occl = jax.lax.cond(
-                casts,
-                lambda: shadow_occlusion(
-                    world, ndl_geom, light_mats[li],
-                    shadow_depth[jnp.maximum(slot, 0)],
-                    normal=n_geom,
-                    is_point=~lights.directional[li],
-                    light_pos=lights.position[li],
-                ),
-                lambda: jnp.ones((1,) + world.shape[1:], jnp.float32),
+        if _upto == "interp":  # + all attribute interpolation, no texturing
+            return (
+                jnp.sum(n_geom) + jnp.sum(u) + jnp.sum(v_) + jnp.sum(tangent)
+                + jnp.sum(base_factor) + jnp.sum(metallic) + jnp.sum(roughness)
+                + jnp.sum(emissive) + jnp.sum(bc_layer) + jnp.sum(tex_lod)
             )
-            radiance = radiance * occl
-        contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance
-        color = color + jnp.where(on, contrib, 0.0)
 
-    bg = jnp.asarray(background, jnp.float32)[:, None, None]
-    color = jnp.where(covered[None], color, bg)
+        if enable_textures:
+            bc = sample_atlas_cf(scene.atlas, bc_layer, u, v_, tex_lod, trilinear=trilinear)
+            albedo = base_factor * srgb_to_linear(bc[0:3])
+        else:
+            albedo = base_factor
+
+        if _upto == "tex":  # + base-color texture sampling
+            return jnp.sum(albedo)
+
+        if enable_textures and enable_normal_maps:
+            t = tangent
+            t = _normalize_cf(t - n_geom * _dot_cf(t, n_geom))
+            b = _cross_cf(n_geom, t) * tan_w
+            nm = sample_atlas_cf(scene.atlas, nm_layer, u, v_, tex_lod, trilinear=trilinear)
+            nx, ny, nz = nm[0] * 2 - 1, nm[1] * 2 - 1, nm[2] * 2 - 1
+            n_mapped = _normalize_cf(t * nx[None] + b * ny[None] + n_geom * nz[None])
+            n = jnp.where((nm_layer >= 0)[None], n_mapped, n_geom)
+        else:
+            n = n_geom
+
+        rt_occ_slots = None  # per-SLOT occlusion planes (grid or brute force)
+        if rt_grid is not None:
+            from renderer_tpu.ops.rt_grid import rt_shadow_grid
+
+            light_mats, lod_i, model, radius, caster_cap, n_slots, interp_flag = rt_grid
+            rt_occ_slots = rt_shadow_grid(
+                scene, world, n_geom, covered, light_mats, lod_i, model,
+                radius, caster_cap, n_slots, interpret=interp_flag,
+            )
+        elif rt is not None:
+            from renderer_tpu.ops.rt import rt_shadow_planes
+
+            tri_w, tri_v, tri_count, n_slots, rt_scale = rt
+            rt_occ_slots = rt_shadow_planes(
+                world, n_geom, scene.lights, tri_w, tri_v, tri_count, n_slots,
+                rt_scale,
+            )
+
+        v = _normalize_cf(camera_pos[:, None, None] - world)
+        lights = scene.lights
+        color = albedo * ambient + emissive
+        n_slots_shaded = lights.alive.shape[0]
+        if light_slots is not None:
+            n_slots_shaded = min(light_slots, n_slots_shaded)
+        for li in range(n_slots_shaded):
+            on = lights.alive[li]
+            to_light = jnp.where(
+                lights.directional[li],
+                -lights.position[li][:, None, None] * jnp.ones_like(world),
+                lights.position[li][:, None, None] - world,
+            )
+            dist2 = _dot_cf(to_light, to_light)
+            l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-12))
+            atten = jnp.where(lights.directional[li], 1.0, 1.0 / jnp.maximum(dist2, 1e-4))
+            radiance = lights.color[li][:, None, None] * (lights.intensity[li] * atten)
+            if rt_occ_slots is not None:
+                # any shadow-slot light traces (the grid path runs point lights
+                # per cube face; the brute-force fallback fills point slots with
+                # 1.0, so the multiply is a no-op there)
+                slot = lights.shadow_slot[li]
+                use = (slot >= 0) & on
+                occ_l = rt_occ_slots[jnp.maximum(slot, 0)]
+                radiance = radiance * jnp.where(use, occ_l, 1.0)[None]
+            if shadow is not None:
+                from renderer_tpu.ops.shadow import shadow_occlusion
+
+                shadow_depth, light_mats = shadow
+                slot = lights.shadow_slot[li]
+                casts = (slot >= 0) & on
+                ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
+                # cond, not where: a light with no shadow slot must SKIP the
+                # whole 2M-pixel lookup at runtime, not compute-and-mask it
+                occl = jax.lax.cond(
+                    casts,
+                    lambda: shadow_occlusion(
+                        world, ndl_geom, light_mats[li],
+                        shadow_depth[jnp.maximum(slot, 0)],
+                        normal=n_geom,
+                        is_point=~lights.directional[li],
+                        light_pos=lights.position[li],
+                    ),
+                    lambda: jnp.ones((1,) + world.shape[1:], jnp.float32),
+                )
+                radiance = radiance * occl
+            contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance
+            color = color + jnp.where(on, contrib, 0.0)
+
+        bg = jnp.asarray(background, jnp.float32)[:, None, None]
+        color = jnp.where(covered[None], color, bg)
+        return color
+
+    color = _run(depth_in, tri_in, px, py, bary_in)
+    if _upto:
+        return color  # diagnostic scalar from the DCE prefix
     if checkerboard:
-        color = _checkerboard_expand(
-            color, vis.tri_id, tri_in, covered, rowpar, bg,
+        bg = jnp.asarray(background, jnp.float32)[:, None, None]
+        cov_s = tri_in != NO_TRIANGLE
+        color, score, tri_u = _checkerboard_expand(
+            color, vis.tri_id, tri_in, cov_s, rowpar, bg,
             halo_axis=halo_axis,
         )
+        if shade_fix and rt is None and rt_grid is None:
+            color = _checkerboard_fix(
+                color, score, tri_u, vis, rowpar, y0, _run,
+                bary_from_records,
+            )
     return jnp.moveaxis(color, 0, -1)  # (H, W, 3) only at the boundary
+
+
+FIX_TAU = 0.04  # neighbor-spread threshold (sum over channels, HDR)
+
+
+def _checkerboard_fix(color, score, tri_u, vis, rowpar, y0, run,
+                      bary_from_records):
+    """Exactly re-shade the worst reconstructed pixels (sparse).
+
+    top_k by neighbor-spread score picks up to K = max(2048, P/32) suspect
+    pixels from the complement lattice; they are re-shaded through the SAME
+    shading closure on an (8, K/8) pseudo-image with explicit pixel-center
+    coordinates — matching what the full-rate path would produce at those
+    pixels (same expressions; ulp-scale cross-shape fusion noise only) —
+    and scattered into the frame. Measured at the 1080p
+    bench (scripts/prof_cbfix.py): 36.3 -> 41.6 dB display-clamped at
+    K = 32k, past BASELINE.md's 40 dB gate. Capacity overflow drops the
+    LOWEST-spread suspects first (deterministic; under SPMD each row shard
+    has its own proportional capacity, identical to single-device whenever
+    no shard truncates)."""
+    h_, w_ = score.shape
+    p2 = h_ * w_
+    k = min(p2 - p2 % 8, max(2048, -(-p2 // 32) // 8 * 8))
+    vals, idx = jax.lax.top_k(score.reshape(p2), k)
+    good = vals > FIX_TAU
+    par0 = rowpar == 0
+    depth_u = jnp.where(par0, vis.depth[:, 1::2], vis.depth[:, 0::2])
+    d_k = depth_u.reshape(p2)[idx]
+    t_k = jnp.where(good, tri_u.reshape(p2)[idx], NO_TRIANGLE)
+    yk = idx // w_
+    jk = idx % w_
+    park = (yk + jnp.asarray(y0, jnp.int32)) & 1  # complement: x = 2j+1-par
+    px_k = (2 * jk + (1 - park)).astype(jnp.float32) + 0.5
+    py_k = yk.astype(jnp.float32) + jnp.asarray(y0, jnp.float32) + 0.5
+    shape2 = (8, k // 8)
+    bary_k = None
+    if not bary_from_records:
+        bary_u = jnp.where(
+            par0[None], vis.bary[:, :, 1::2], vis.bary[:, :, 0::2]
+        )
+        bary_k = bary_u.reshape(3, p2)[:, idx].reshape((3,) + shape2)
+    color_k = run(
+        d_k.reshape(shape2), t_k.reshape(shape2),
+        px_k.reshape(shape2), py_k.reshape(shape2), bary_k,
+    ).reshape(3, k)
+    fw_ = color.shape[-1]
+    flat = jnp.where(good, yk * fw_ + 2 * jk + (1 - park), h_ * fw_)  # OOB=drop
+    out = color.reshape(3, h_ * fw_).at[:, flat].set(
+        color_k, mode="drop", unique_indices=True
+    )
+    return out.reshape(color.shape)
 
 
 def _halo_rows(a, halo_axis):
@@ -468,12 +554,25 @@ def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg,
         jnp.where((denc > 0)[None], numc / jnp.maximum(denc, 1.0)[None], bg),
     )
     recon = jnp.where(cov_u[None], recon, bg)
+    # suspect score for the edge fix (_checkerboard_fix): covered pixels
+    # ranked by same-triangle neighbor color spread — reconstruction is
+    # exact for linear fields, so a large spread marks the curvature /
+    # different-surface-point cases that actually err; den == 0 (covered
+    # but no same-triangle neighbor: sub-pixel slivers) is always suspect
+    spread = jnp.where(
+        (den > 0)[None], nb_max - nb_min, 0.0
+    ).sum(axis=0)
+    score = jnp.where(
+        cov_u, jnp.where(den == 0.0, jnp.float32(1e9), spread),
+        jnp.float32(-1.0),
+    )
     # interleave the two half-lattices back to full width with
     # interior-padded lax.pads — a stack-to-(H, W/2, 2) would pad its
     # minor dim 2 -> 128 physically (PERF.md layout law)
     even = jnp.where(par0, shaded, recon)
     odd = jnp.where(par0, recon, shaded)
     zero = jnp.float32(0)
-    return jax.lax.pad(
+    out = jax.lax.pad(
         even, zero, ((0, 0, 0), (0, 0, 0), (0, 1, 1))
     ) + jax.lax.pad(odd, zero, ((0, 0, 0), (0, 0, 0), (1, 0, 1)))
+    return out, score, tri_u

@@ -65,6 +65,13 @@ class PipelineConfig:
     # _checkerboard_expand) — halves the two index-rate-bound 2M-row
     # gathers that dominate the shade pass. PBR path only.
     shade_rate: str = "full"
+    # checkerboard edge fix: exactly re-shade the top ~3% of reconstructed
+    # pixels (ranked by same-triangle neighbor color spread) through the
+    # same shading closure — lifts the 1080p bench frame from 36.3 to
+    # 41.6 dB display-clamped (past BASELINE.md's 40 dB gate) for ~2 ms.
+    # Only applies when shade_rate="checkerboard"; auto-skipped under
+    # rt/rt_grid shadows (their screen-tile kernels need the full lattice).
+    shade_fix: bool = True
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer
     use_pallas: bool = False
@@ -449,6 +456,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 y0=y0, full_height=fh,
                 light_slots=cfg.shade_light_slots,
                 checkerboard=(cfg.shade_rate == "checkerboard"),
+                shade_fix=cfg.shade_fix,
                 halo_axis=axis if SP else None,
             )
         img = shading.shade_lambert(

@@ -18,11 +18,11 @@ from renderer_tpu.models import sponza_like_scene
 FRAMES = 30
 
 
-def run(rate, scene):
+def run(rate, scene, fix=False):
     cfg = PipelineConfig(
         width=bench.WIDTH, height=bench.HEIGHT, tri_capacity=bench.TRI_CAPACITY,
         use_pallas=True, shading="pbr", enable_normal_maps=False,
-        trilinear=False, shade_rate=rate,
+        trilinear=False, shade_rate=rate, shade_fix=fix,
     )
     r = Renderer(scene, cfg, outputs=("image",))
     out = r.render(bench.make_camera(0.3))
@@ -40,17 +40,22 @@ def main():
     scene = sponza_like_scene(bench.N_INSTANCES)
     full_img, full_ms = run("full", scene)
     cb_img, cb_ms = run("checkerboard", scene)
-    print(f"full: {full_ms:.2f} ms  checkerboard: {cb_ms:.2f} ms")
+    fix_img, fix_ms = run("checkerboard", scene, fix=True)
+    print(
+        f"full: {full_ms:.2f} ms  checkerboard: {cb_ms:.2f} ms  "
+        f"cb+fix: {fix_ms:.2f} ms"
+    )
     # raw HDR PSNR is dominated by a handful of unclamped specular spikes
     # (err max ~57 on a 1.0 peak); the display-clamped metric is what a
     # PNG/viewer shows, so report both
-    for name, a, b in (
-        ("HDR", cb_img, full_img),
-        ("display-clamped", np.clip(cb_img, 0, 1), np.clip(full_img, 0, 1)),
-    ):
-        mse = float(np.mean((a - b) ** 2))
-        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
-        print(f"PSNR(cb vs full, {name}) = {psnr:.2f} dB")
+    for tag, img in (("cb", cb_img), ("cb+fix", fix_img)):
+        for name, a, b in (
+            ("HDR", img, full_img),
+            ("display-clamped", np.clip(img, 0, 1), np.clip(full_img, 0, 1)),
+        ):
+            mse = float(np.mean((a - b) ** 2))
+            psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+            print(f"PSNR({tag} vs full, {name}) = {psnr:.2f} dB")
 
 
 if __name__ == "__main__":

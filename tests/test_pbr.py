@@ -139,3 +139,53 @@ def test_checkerboard_shade_tier():
     mse = np.mean((cb - full) ** 2)
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 28.0, psnr
+
+
+def test_checkerboard_edge_fix_is_exact():
+    """The checkerboard edge fix re-shades suspect reconstructed pixels
+    through the SAME shading closure at their true pixel centers — every
+    pixel it changes must therefore equal the full-rate frame (same
+    expressions, same op order), and the fix must only ever move the frame
+    TOWARD the full-rate one."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.models import textured_scene
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+    from renderer_tpu.scene import SceneLimits
+
+    scene = textured_scene(SceneLimits.tiny(), atlas_size=32)
+    cam = Camera.create(
+        position=jnp.array([0.0, 1.2, 4.0]), fov_y=0.9, near=0.1, far=60.0
+    )
+
+    def render(rate, fix):
+        cfg = PipelineConfig(
+            width=128, height=64, tri_capacity=4096,
+            use_pallas=True, pallas_interpret=True, shading="pbr",
+            shade_rate=rate, shade_fix=fix,
+        )
+        r = Renderer(scene, cfg, outputs=("image",))
+        return np.asarray(r.render(cam)["image"])
+
+    full = render("full", False)
+    raw = render("checkerboard", False)
+    fixed = render("checkerboard", True)
+
+    changed = np.any(fixed != raw, axis=-1)
+    assert changed.any(), "the edge fix selected no pixels on an edge-heavy scene"
+    # fixed pixels match the full-rate path to cross-shape fusion noise
+    # (the (8, K/8) batch compiles with different fusion/FMA-contraction
+    # choices than the full grid; same expressions, ulp-scale drift) —
+    # far below the reconstruction errors the fix replaces (~0.1)
+    np.testing.assert_allclose(fixed[changed], full[changed], atol=1e-4)
+    # only complement-lattice ((x+y) odd) pixels may change
+    yy, xx = np.mgrid[0:64, 0:128]
+    assert not changed[(xx + yy) % 2 == 0].any()
+    # net quality must not regress
+    def psnr(a, b):
+        mse = np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2)
+        return 10 * np.log10(1.0 / max(float(mse), 1e-12))
+
+    assert psnr(fixed, full) >= psnr(raw, full) - 1e-6

@@ -109,17 +109,54 @@ def main():
         )
     del probe
 
-    # warmup/compile
+    # Timing recipe (PERF.md round-3 session 9): block_until_ready does NOT
+    # reliably synchronize through the axon tunnel — dispatches pipeline in a
+    # deep queue and only a HOST FETCH forces real sync. The donated-state
+    # chain already serializes the frames on device, so fetching ONE pixel of
+    # the last frame bounds the loop's true device time (+ one fetch RTT,
+    # amortized over FRAMES).
+    def sync(o):
+        return float(np.asarray(o["image"][0, 0, 0]))
+
+    # warmup/compile + queue drain
     out = renderer.render(make_camera(0.3))
-    jax.block_until_ready(out["image"])
+    sync(out)
 
     t0 = time.perf_counter()
     for k in range(FRAMES):
         out = renderer.render(make_camera(0.3 + 0.01 * k))
-    jax.block_until_ready(out["image"])
+    sync(out)
     dt = (time.perf_counter() - t0) / FRAMES
     fps = 1.0 / dt
     mtris = tri_count * fps / 1e6
+    # exact frame at a fixed camera for the quality gate below (host fetch
+    # forces real sync; outside the timed loop)
+    cam_ref = make_camera(0.3 + 0.005 * FRAMES)
+    img_exact = np.clip(np.asarray(renderer.render(cam_ref)["image"]), 0.0, 1.0)
+    del renderer
+
+    # secondary: the quality-gated fast tier (shade_rate="checkerboard" +
+    # edge fix) — a legitimate production mode when its display-clamped PSNR
+    # vs the exact frame passes BASELINE.md's 40 dB gate, so it is reported
+    # alongside the exact-path headline (which stays `value`). The PSNR is
+    # MEASURED here on the bench frame, not quoted.
+    import dataclasses
+
+    cb_renderer = Renderer(
+        scene,
+        dataclasses.replace(cfg, shade_rate="checkerboard", shade_fix=True),
+        outputs=("image",),
+    )
+    out = cb_renderer.render(make_camera(0.3))
+    sync(out)
+    t0 = time.perf_counter()
+    for k in range(FRAMES):
+        out = cb_renderer.render(make_camera(0.3 + 0.01 * k))
+    sync(out)
+    cb_dt = (time.perf_counter() - t0) / FRAMES
+    img_cb = np.clip(np.asarray(cb_renderer.render(cam_ref)["image"]), 0.0, 1.0)
+    mse = float(np.mean(np.square(img_exact - img_cb)))
+    cb_psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
 
     print(
         json.dumps(
@@ -131,6 +168,9 @@ def main():
                 "mtris_per_sec": round(mtris, 1),
                 "visible_triangles": int(tri_count),
                 "frame_ms": round(dt * 1e3, 2),
+                "checkerboard_fix_fps": round(1.0 / cb_dt, 2),
+                "checkerboard_fix_frame_ms": round(cb_dt * 1e3, 2),
+                "checkerboard_fix_psnr_db": round(cb_psnr, 1),
             }
         )
     )

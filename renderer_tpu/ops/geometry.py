@@ -916,12 +916,24 @@ def build_draw_stream(
     # payload sort: carrying (owner, tri_idx) through ONE stable sort avoids
     # the two post-argsort permutation gathers (2 x 0.94 ms at E=262k; sorts
     # are cheap here, gathers are index-rate bound). Same order as
-    # argsort(stable) — ties break by index either way.
-    _, owner_p, tri_p = jax.lax.sort(
-        (key, owner, tri_idx), num_keys=1, is_stable=True
-    )
-    owner_s = owner_p[:out_capacity]
-    tri_s = tri_p[:out_capacity]
+    # argsort(stable) — ties break by index either way. When the id bits fit
+    # one word (owner < 2^14, library tri_idx < 2^16 at the bench), the two
+    # payloads pack into ONE i32: every merge pass of the 262k sort moves a
+    # third less payload, and the unpack shifts are free vector ops.
+    bits_t2 = max(1, (lib.tri_rec.shape[0] - 1).bit_length())
+    bits_o2 = max(1, (n - 1).bit_length())
+    if bits_t2 + bits_o2 <= 31:
+        packed_ot = (owner << bits_t2) | tri_idx
+        _, packed_p = jax.lax.sort((key, packed_ot), num_keys=1, is_stable=True)
+        packed_s = packed_p[:out_capacity]
+        owner_s = packed_s >> bits_t2
+        tri_s = packed_s & ((1 << bits_t2) - 1)
+    else:
+        _, owner_p, tri_p = jax.lax.sort(
+            (key, owner, tri_idx), num_keys=1, is_stable=True
+        )
+        owner_s = owner_p[:out_capacity]
+        tri_s = tri_p[:out_capacity]
     rec_s = lib.tri_rec[tri_s]  # (T, 36)
     # recompute survivor clip from the same inputs with the same op order
     # (bit-identical with phase A). ONE transposing dot per gathered table

@@ -30,10 +30,12 @@ def main():
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/rt_trace3"
     enable_persistent_cache()
     scene = sponza_like_scene(N_INSTANCES)
+    cb = os.environ.get("RT_CB", "") == "1"  # attribute the checkerboard tier
     cfg = PipelineConfig(
         width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
         use_pallas=True, shading="pbr", enable_normal_maps=False,
         trilinear=False,
+        shade_rate="checkerboard" if cb else "full", shade_fix=cb,
     )
     r = Renderer(scene, cfg, outputs=("image",))
     plan = r.plans.plan(r.config.as_dict())

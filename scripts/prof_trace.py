@@ -25,10 +25,12 @@ from renderer_tpu.utils.compile_cache import enable_persistent_cache
 def main():
     enable_persistent_cache()
     scene = sponza_like_scene(N_INSTANCES)
+    cb = os.environ.get("RT_CB", "") == "1"  # trace the checkerboard tier
     cfg = PipelineConfig(
         width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
         use_pallas=True, shading="pbr", enable_normal_maps=False,
         trilinear=False,
+        shade_rate="checkerboard" if cb else "full", shade_fix=cb,
     )
     r = Renderer(scene, cfg, outputs=("image",))
     cams = [make_camera(0.3 + 0.01 * k) for k in range(8)]

@@ -295,47 +295,69 @@ def _bin_tri_masks(bbox_ok, t_cap, width, height, y0=0):
     iterations, 131k bbox passes — the miss path was ~3 ms of pure scalar
     compares.
 
-    Packing: the (n_tiles, T) overlap matrix is bf16 0/1 (exact) and is
-    folded 8 bits at a time by ONE MXU dot with [1,2,...,128] (sums <= 255:
-    exact in bf16/f32), then a transposing identity dot makes the byte
-    columns contiguous rows and plain integer shifts assemble the words.
-    (A per-bit strided-slice formulation with no padded intermediates
-    measured 4.8 ms SLOWER end-to-end — 64 unfused (n_tiles, n_blocks)
-    compare planes; the dot version's padded (M, 8) reshape is cheaper.)"""
+    Build: a triangle's tile set is a RECTANGLE of tile coords, so the
+    (n_tiles, T) overlap matrix is SEPARABLE — o[(ty,tx), t] =
+    oy[ty, t] & ox[tx, t]. The factors are tiny ((n_ty + n_tx) x T bits vs
+    n_tiles x T = 134 MB at the 1080p bench), and the byte fold becomes one
+    fused multiply-reduce over the bit axis: bytes[ty, tx, j, blk] =
+    sum_k oy[ty, ...] * (ox[tx, ...] * 2^k), exact in bf16 (products <=
+    128, sums <= 255). The interval columns are pre-transposed to
+    (j, k, blk) rows by one transposing identity dot per column (the
+    _t_cols firewall) so the reduce runs over sublanes with blk as the
+    128-aligned minor dim.
+
+    History: the earlier non-separable formulation (materialize
+    (n_tiles, T) bf16, one MXU byte-fold dot, one transposing dot) cost
+    ~1.5 ms/frame at the 1080p bench; three OTHER non-separable variants
+    (per-bit strided slices, trailing-64 3D, 512-lane block-diagonal dot)
+    all measured slower than it. Separability is what they were missing."""
     from renderer_tpu.ops.geometry import _t_cols
 
     xmin, xmax, ymin, ymax, ok = bbox_ok
     n_ty, n_tx = height // TILE_H, width // TILE_W
-    n_tiles = n_ty * n_tx
     n_blocks = t_cap // BLOCK
     y0f = jnp.asarray(y0, jnp.float32)
     txi0 = jnp.floor(xmin * (1.0 / TILE_W))
     txi1 = jnp.floor(xmax * (1.0 / TILE_W))
     tyi0 = jnp.floor((ymin - y0f) * (1.0 / TILE_H))
     tyi1 = jnp.floor((ymax - y0f) * (1.0 / TILE_H))
-    tile = jnp.arange(n_tiles, dtype=jnp.int32)
-    ty_idx = (tile // n_tx).astype(jnp.float32)[:, None]
-    tx_idx = (tile % n_tx).astype(jnp.float32)[:, None]
-    o = (
-        ok[None, :]
-        & (txi0[None, :] <= tx_idx) & (tx_idx <= txi1[None, :])
-        & (tyi0[None, :] <= ty_idx) & (ty_idx <= tyi1[None, :])
-    )  # (n_tiles, T)
-    obf = o.astype(jnp.bfloat16).reshape(n_tiles * n_blocks * (BLOCK // 8), 8)
-    p2 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.bfloat16)[:, None]
-    bytes_f = jax.lax.dot_general(
-        obf, p2, (((1,), (0,)), ((), ()))
-    )  # (M, 1) f32 in [0, 255]
-    bt = _t_cols(bytes_f.reshape(n_tiles * n_blocks, 8))  # (8, M) free rows
-    b = bt.astype(jnp.int32)
-    w0 = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
-    w1 = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
-    masks = jnp.stack([w0, w1], axis=0)  # (2, M) rows
+    # Poison the x interval for dead triangles (empty interval == bit 0) and
+    # clamp everything into a finite range: the transposing dot below
+    # touches every entry of a 64-column row with zero weights, and
+    # 0 * inf = NaN would poison the whole block row. Clamping to
+    # [-1, n_t*] preserves the containment predicate exactly (tile coords
+    # live in [0, n_t*-1]), and NaN bboxes always have ok == False
+    # (their on-screen compare fails), so the where() removes them.
+    def scrub(v, empty):
+        # NaN -> empty-interval endpoint: clip() passes NaN through, and one
+        # NaN inside a 64-column dot row would zero the whole block's masks
+        return jnp.where(jnp.isnan(v), empty, v)
+
+    txi0 = jnp.clip(scrub(jnp.where(ok, txi0, float(n_tx)), float(n_tx)), -1.0, float(n_tx))
+    txi1 = jnp.clip(scrub(jnp.where(ok, txi1, -1.0), -1.0), -1.0, float(n_tx))
+    tyi0 = jnp.clip(scrub(tyi0, float(n_ty)), -1.0, float(n_ty))
+    tyi1 = jnp.clip(scrub(tyi1, -1.0), -1.0, float(n_ty))
+
+    def fac(v):
+        # (T,) -> (8, 8, n_blocks) = (j, k, blk) rows, t = 64*blk + 8*j + k
+        return _t_cols(v.reshape(n_blocks, 64)).reshape(8, 8, n_blocks)
+
+    ty_v = jnp.arange(n_ty, dtype=jnp.float32).reshape(n_ty, 1, 1, 1)
+    tx_v = jnp.arange(n_tx, dtype=jnp.float32).reshape(n_tx, 1, 1, 1)
+    oy = (fac(tyi0)[None] <= ty_v) & (ty_v <= fac(tyi1)[None])
+    ox = (fac(txi0)[None] <= tx_v) & (tx_v <= fac(txi1)[None])
+    p2 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.bfloat16)
+    a = oy.astype(jnp.bfloat16)  # (n_ty, 8, 8, n_blocks)
+    b = ox.astype(jnp.bfloat16) * p2.reshape(1, 1, 8, 1)
+    bytes_f = jnp.sum(
+        a[:, None] * b[None], axis=3, dtype=jnp.float32
+    )  # (n_ty, n_tx, 8, n_blocks), each in [0, 255]
+    bi = bytes_f.astype(jnp.int32)
+    w0 = bi[:, :, 0] | (bi[:, :, 1] << 8) | (bi[:, :, 2] << 16) | (bi[:, :, 3] << 24)
+    w1 = bi[:, :, 4] | (bi[:, :, 5] << 8) | (bi[:, :, 6] << 16) | (bi[:, :, 7] << 24)
+    masks = jnp.stack([w0, w1], axis=2)  # (n_ty, n_tx, 2, n_blocks)
     # interleave per block: (n_tiles, n_blocks, 2) word order
-    masks = jnp.swapaxes(
-        masks.reshape(2, n_tiles, n_blocks), 0, 1
-    )  # (n_tiles, 2, n_blocks)
-    masks = jnp.swapaxes(masks, 1, 2).reshape(n_tiles, 2 * n_blocks)
+    masks = jnp.swapaxes(masks, 2, 3).reshape(n_ty * n_tx, 2 * n_blocks)
     pad = _round_up(2 * n_blocks, 128) - 2 * n_blocks
     if pad:
         masks = jnp.pad(masks, ((0, 0), (0, pad)))

@@ -5,8 +5,25 @@ Prints ONE JSON line:
 
 Baseline target (BASELINE.md): >= 60 FPS at 1080p for a Sponza-class scene
 with 10k frustum-culled instances on one TPU v5e chip. Also reports Mtris/s.
+
+What is measured (round 4 — the FULL-FEATURED frame):
+- The scene carries tangent-space normal maps and every material uses them
+  (the reference normal-maps every pixel, gltf_mesh.frag:46-71).
+- Edge-aware AA is ON (the production tier standing in for the reference's
+  always-on 4xMSAA; ops/aa.py).
+- A second tier measures shadows=True through the amortized atlas (the
+  reference renders + samples its shadow atlas every frame).
+- Two shading modes per tier: the exact full-rate path, and the
+  checkerboard+fix mode (a production variable-rate-shading knob). The fast
+  mode becomes the reported headline ONLY when its display-clamped PSNR —
+  measured IN THIS RUN vs this repo's exact frame, at the MINIMUM over
+  several orbit poses — passes 40 dB. That gate is fidelity vs the exact
+  path of the SAME renderer (the Vulkan reference frame is not available in
+  this environment); `psnr_basis` in the JSON says so explicitly, and both
+  modes' numbers are always reported.
 """
 
+import dataclasses
 import json
 import math
 import time
@@ -17,6 +34,10 @@ N_INSTANCES = 10000
 TRI_CAPACITY = 1 << 17  # post-cull capacity (expansion capacity is 2x this)
 FRAMES = 30
 TARGET_FPS = 60.0
+GATE_DB = 40.0
+# PSNR gate poses: spread across the timed orbit (VERDICT r3 item 6 — a
+# single-pose gate can pass while other views fail)
+GATE_ANGLES = (0.3, 0.3 + 0.005 * FRAMES, 0.3 + 0.01 * (FRAMES - 1))
 
 
 def make_camera(angle: float):
@@ -59,6 +80,49 @@ def make_camera(angle: float):
     )
 
 
+def _measure_mode(scene, cfg, shadows: bool):
+    """Timed orbit + gate-pose frames for one (config, shadows) mode.
+
+    Returns (ms_per_frame, {angle: clamped uint8-free f32 frame}).
+    The donated-state chain serializes frames on device; ONE host fetch at
+    the end bounds the true device time (PERF.md round-3 session 9:
+    block_until_ready does NOT sync through the axon tunnel)."""
+    import numpy as np
+
+    from renderer_tpu.runtime import Renderer
+
+    renderer = Renderer(scene, cfg, outputs=("image",))
+    if shadows:
+        renderer.set_config(shadows=True)
+        renderer.apply_config_now()
+
+    out = renderer.render(make_camera(0.3))  # compile + drain
+    float(np.asarray(out["image"][0, 0, 0]))
+    t0 = time.perf_counter()
+    for k in range(FRAMES):
+        out = renderer.render(make_camera(0.3 + 0.01 * k))
+    float(np.asarray(out["image"][0, 0, 0]))
+    dt = (time.perf_counter() - t0) / FRAMES
+
+    frames = {}
+    for a in GATE_ANGLES:
+        img = np.asarray(renderer.render(make_camera(a))["image"])
+        frames[a] = np.clip(img, 0.0, 1.0)
+    del renderer
+    return dt, frames
+
+
+def psnr_min(frames_a, frames_b) -> float:
+    """MIN display-clamped PSNR across the gate poses."""
+    import numpy as np
+
+    worst = float("inf")
+    for a in frames_a:
+        mse = float(np.mean(np.square(frames_a[a] - frames_b[a])))
+        worst = min(worst, 10.0 * math.log10(1.0 / max(mse, 1e-12)))
+    return worst
+
+
 def main():
     import jax
     import numpy as np
@@ -75,10 +139,11 @@ def main():
         tri_capacity=TRI_CAPACITY,
         use_pallas=(platform == "tpu"),
         shading="pbr",
-        enable_normal_maps=False,  # the scene carries no normal maps
+        enable_normal_maps=True,  # the scene carries normal maps (r4)
+        aa="edge",                # production AA tier always on (r4)
         trilinear=False,  # bilinear + nearest mip (GPU 'performance' filtering)
     )
-    renderer = Renderer(scene, cfg, outputs=("image",))
+    cfg_cb = dataclasses.replace(cfg, shade_rate="checkerboard", shade_fix=True)
 
     # visible-triangle count for Mtris/s: averaged over the timed orbit's
     # camera range (a single-angle probe over/understates by a few %).
@@ -109,70 +174,45 @@ def main():
         )
     del probe
 
-    # Timing recipe (PERF.md round-3 session 9): block_until_ready does NOT
-    # reliably synchronize through the axon tunnel — dispatches pipeline in a
-    # deep queue and only a HOST FETCH forces real sync. The donated-state
-    # chain already serializes the frames on device, so fetching ONE pixel of
-    # the last frame bounds the loop's true device time (+ one fetch RTT,
-    # amortized over FRAMES).
-    def sync(o):
-        return float(np.asarray(o["image"][0, 0, 0]))
+    # -- base tier (no shadows) ---------------------------------------------
+    dt_exact, frames_exact = _measure_mode(scene, cfg, shadows=False)
+    dt_cb, frames_cb = _measure_mode(scene, cfg_cb, shadows=False)
+    psnr_base = psnr_min(frames_exact, frames_cb)
 
-    # warmup/compile + queue drain
-    out = renderer.render(make_camera(0.3))
-    sync(out)
+    # -- full-featured tier: shadows ON (amortized atlas) -------------------
+    dt_sh_exact, frames_sh_exact = _measure_mode(scene, cfg, shadows=True)
+    dt_sh_cb, frames_sh_cb = _measure_mode(scene, cfg_cb, shadows=True)
+    psnr_sh = psnr_min(frames_sh_exact, frames_sh_cb)
 
-    t0 = time.perf_counter()
-    for k in range(FRAMES):
-        out = renderer.render(make_camera(0.3 + 0.01 * k))
-    sync(out)
-    dt = (time.perf_counter() - t0) / FRAMES
+    print(json.dumps(result_line(
+        platform, tri_count,
+        dt_exact, dt_cb, psnr_base,
+        dt_sh_exact, dt_sh_cb, psnr_sh,
+    )))
+
+
+def result_line(platform, tri_count, dt, cb_dt, cb_psnr,
+                sh_dt=None, sh_cb_dt=None, sh_psnr=None):
+    """Headline selection (pure function; tests/test_bench.py covers the
+    branches hermetically).
+
+    `value` is the best PRODUCTION mode of the base tier: the
+    checkerboard+fix shading mode when its measured min-over-poses PSNR
+    vs this run's exact frame passes the 40 dB gate, else the exact path.
+    The active mode ships in `shade_rate` and `headline_mode`, and both
+    modes' numbers are always present, so JSON consumers can track either
+    series. `psnr_basis` records what the gate compares against (the
+    Vulkan reference frame is not available in this environment — the gate
+    is fidelity of the fast mode vs the exact mode of the SAME renderer,
+    not a claim about BASELINE.md's vs-reference fidelity gate).
+
+    The shadowed tier (the reference's always-on configuration) reports
+    `shadowed_fps` by the same rule with its own gate."""
     fps = 1.0 / dt
-    # exact frame at a fixed camera for the quality gate below (host fetch
-    # forces real sync; outside the timed loop)
-    cam_ref = make_camera(0.3 + 0.005 * FRAMES)
-    img_exact = np.clip(np.asarray(renderer.render(cam_ref)["image"]), 0.0, 1.0)
-    del renderer
-
-    # secondary: the quality-gated fast tier (shade_rate="checkerboard" +
-    # edge fix) — a legitimate production mode when its display-clamped PSNR
-    # vs the exact frame passes BASELINE.md's 40 dB gate, so it is reported
-    # alongside the exact-path headline (which stays `value`). The PSNR is
-    # MEASURED here on the bench frame, not quoted.
-    import dataclasses
-
-    cb_renderer = Renderer(
-        scene,
-        dataclasses.replace(cfg, shade_rate="checkerboard", shade_fix=True),
-        outputs=("image",),
-    )
-    out = cb_renderer.render(make_camera(0.3))
-    sync(out)
-    t0 = time.perf_counter()
-    for k in range(FRAMES):
-        out = cb_renderer.render(make_camera(0.3 + 0.01 * k))
-    sync(out)
-    cb_dt = (time.perf_counter() - t0) / FRAMES
-    img_cb = np.clip(np.asarray(cb_renderer.render(cam_ref)["image"]), 0.0, 1.0)
-    mse = float(np.mean(np.square(img_exact - img_cb)))
-    cb_psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
-
-    print(json.dumps(result_line(platform, tri_count, dt, cb_dt, cb_psnr)))
-
-
-def result_line(platform, tri_count, dt, cb_dt, cb_psnr):
-    """Headline selection: BASELINE.md's fidelity gate is PSNR >= 40 dB vs the
-    reference frame. The checkerboard+fix tier is a production shading mode
-    (like any GPU's variable-rate shading) whose PSNR vs the exact path is
-    MEASURED on this very run — it becomes the headline only when it passes
-    the gate; otherwise the exact path stays the headline. Both numbers are
-    always reported. (Pure function; tests/test_bench.py covers both
-    branches hermetically.)"""
-    fps = 1.0 / dt
-    gate_ok = cb_psnr >= 40.0
+    gate_ok = cb_psnr >= GATE_DB
     head_fps = (1.0 / cb_dt) if gate_ok else fps
     head_dt = cb_dt if gate_ok else dt
-    return {
+    out = {
         "metric": f"sponza_like_{N_INSTANCES}inst_{WIDTH}x{HEIGHT}_fps_{platform}",
         "value": round(head_fps, 2),
         "unit": "frames/sec",
@@ -180,13 +220,28 @@ def result_line(platform, tri_count, dt, cb_dt, cb_psnr):
         "mtris_per_sec": round(tri_count * head_fps / 1e6, 1),
         "visible_triangles": int(tri_count),
         "frame_ms": round(head_dt * 1e3, 2),
+        "headline_mode": "checkerboard+fix" if gate_ok else "full",
         "shade_rate": "checkerboard+fix" if gate_ok else "full",
+        "features": "normal_maps+edge_aa",
+        "psnr_basis": "vs_exact_same_config_min_over_3_poses",
         "exact_path_fps": round(fps, 2),
         "exact_path_frame_ms": round(dt * 1e3, 2),
         "checkerboard_fix_fps": round(1.0 / cb_dt, 2),
         "checkerboard_fix_frame_ms": round(cb_dt * 1e3, 2),
-        "checkerboard_fix_psnr_db": round(cb_psnr, 1),
+        "checkerboard_fix_psnr_db_min": round(cb_psnr, 1),
     }
+    if sh_dt is not None:
+        sh_gate = sh_psnr >= GATE_DB
+        sh_head = (1.0 / sh_cb_dt) if sh_gate else (1.0 / sh_dt)
+        out.update({
+            "shadowed_fps": round(sh_head, 2),
+            "shadowed_frame_ms": round((sh_cb_dt if sh_gate else sh_dt) * 1e3, 2),
+            "shadowed_mode": "checkerboard+fix" if sh_gate else "full",
+            "shadowed_exact_fps": round(1.0 / sh_dt, 2),
+            "shadowed_checkerboard_fix_fps": round(1.0 / sh_cb_dt, 2),
+            "shadowed_psnr_db_min": round(sh_psnr, 1),
+        })
+    return out
 
 
 if __name__ == "__main__":

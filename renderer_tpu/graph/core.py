@@ -364,18 +364,24 @@ class CompiledPlan:
 
     def execute_timed(self, state: Mapping[str, Any], iters: int = 5, **external):
         """DIAGNOSTIC: run the plan pass-by-pass, each pass as its own jitted
-        program timed over `iters` device-synchronized calls. Returns
-        (outputs, new_state, {pass_name: median_ms}).
+        program timed over `iters` chained device calls. Returns
+        (outputs, new_state, {pass_name: mean_ms}).
 
         The per-pass numbers are the TPU analogue of the reference's
         per-system GPU timestamps in its imgui panel (ecs.rs:293-409). They
-        include one dispatch round-trip each (~2 ms through the axon tunnel)
-        and miss cross-pass fusion, so their sum exceeds the fused frame
-        time — treat them as a cost BREAKDOWN, not a frame budget."""
-        import statistics
+        include one dispatch round-trip each and miss cross-pass fusion, so
+        their sum exceeds the fused frame time — treat them as a cost
+        BREAKDOWN, not a frame budget.
+
+        Timing recipe (PERF.md round-3 session 9): block_until_ready does
+        NOT synchronize through the axon tunnel — only a HOST FETCH does.
+        Each pass is timed by folding a scalar derived from its output back
+        into its input (a true data chain, like scripts/timing.py
+        timeit_chained) and fetching once after `iters` calls."""
         import time as _time
 
         import jax
+        import jax.numpy as jnp
 
         env: dict[str, Any] = dict(state)
         for k, v in external.items():
@@ -383,18 +389,53 @@ class CompiledPlan:
                 raise GraphError(f"unexpected external input {k!r}")
             env[k] = v
         timings: dict[str, float] = {}
+
+        def _first_float_leaf(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+                    return leaf
+            return None
+
         for p in self.passes:
             kwargs = {r: env[r] for r in p.reads}
             for r in p.reads_prev:
                 kwargs[f"{r}_prev"] = state[r]
-            fn = jax.jit(lambda kw, _p=p: _p.fn(**kw))
-            result = jax.block_until_ready(fn(kwargs))  # compile + warm
-            samples = []
+
+            def fn(kw, s, _p=p):
+                # chain: perturb the first float input leaf by s (s is
+                # ~1e-30-scaled, numerically invisible) so call k+1
+                # data-depends on call k's output; fold the output to a
+                # scalar for the next link.
+                def bump(leaf):
+                    if (
+                        hasattr(leaf, "dtype")
+                        and jnp.issubdtype(leaf.dtype, jnp.floating)
+                        and getattr(leaf, "ndim", 0) >= 1
+                    ):
+                        return leaf + s.astype(leaf.dtype)
+                    return leaf
+
+                kw = jax.tree_util.tree_map(bump, kw)
+                result = _p.fn(**kw)
+                lf = _first_float_leaf(result)
+                fold = (
+                    lf.ravel()[0].astype(jnp.float32) * 1e-30
+                    if lf is not None
+                    else jnp.float32(0.0)
+                )
+                return result, fold
+
+            jfn = jax.jit(fn)
+            s = jnp.float32(0.0)
+            result, fold = jfn(kwargs, s)
+            float(fold)  # compile + drain the queue
+            s = jnp.float32(0.0)
+            t0 = _time.perf_counter()
             for _ in range(max(1, iters)):
-                t0 = _time.perf_counter()
-                result = jax.block_until_ready(fn(kwargs))
-                samples.append((_time.perf_counter() - t0) * 1e3)
-            timings[p.name] = statistics.median(samples)
+                result, fold = jfn(kwargs, s)
+                s = fold
+            float(s)  # ONE host fetch bounds the chained device time
+            timings[p.name] = (_time.perf_counter() - t0) / max(1, iters) * 1e3
             if len(p.writes) == 1 and not isinstance(result, dict):
                 result = {p.writes[0]: result}
             env.update(result)

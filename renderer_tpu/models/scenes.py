@@ -117,6 +117,84 @@ def skinned_scene(limits: SceneLimits = None):
     return b.build()
 
 
+def colonnade_spec():
+    """Sponza-class committed-asset spec: an atrium colonnade.
+
+    Returns (meshes, instances, materials) in scene/gltf.write_glb's format
+    (instances = [(mesh_idx, mat_idx, translation, rotation wxyz, scale)]).
+    This is the source of truth for BOTH the committed `assets/colonnade.glb`
+    (scripts/make_asset.py) and its procedural twin (colonnade_scene) — a
+    test asserts the on-disk GLB renders identically to the twin, closing
+    the external-asset path the reference exercises at startup
+    (/root/reference/src/main.rs:337-351 loads SciFiHelmet from disk).
+
+    write_glb assigns materials per MESH, so every mesh here is paired with
+    exactly one material (mat_idx == mesh_idx)."""
+    meshes = [
+        primitives.plane(size=30.0),                      # 0 floor
+        primitives.box(),                                 # 1 column shaft
+        primitives.torus(rings=20, sides=12),             # 2 capital ring
+        primitives.uv_sphere(rings=18, sectors=30),       # 3 ornament
+        primitives.box(),                                 # 4 architrave beam
+    ]
+    materials = [
+        dict(base_color=(0.55, 0.53, 0.5, 1.0), roughness=0.9),   # stone floor
+        dict(base_color=(0.82, 0.79, 0.72, 1.0), roughness=0.6),  # marble
+        dict(base_color=(0.72, 0.45, 0.2, 1.0), roughness=0.35, metallic=1.0),  # bronze
+        dict(base_color=(0.6, 0.15, 0.12, 1.0), roughness=0.4),   # red ornament
+        dict(base_color=(0.75, 0.72, 0.66, 1.0), roughness=0.7),  # beam
+    ]
+    instances = [(0, 0, (0.0, -1.0, 0.0), (1.0, 0.0, 0.0, 0.0), 1.0)]
+    n_cols = 14
+    for side in (-1.0, 1.0):
+        for k in range(n_cols):
+            x = -13.0 + 2.0 * k
+            z = side * 4.0
+            # shaft: tall thin box; capital torus; sphere ornament on top
+            instances.append((1, 1, (x, 0.6, z), (1.0, 0.0, 0.0, 0.0), 0.45))
+            instances.append((1, 1, (x, 1.5, z), (1.0, 0.0, 0.0, 0.0), 0.45))
+            instances.append((1, 1, (x, 2.4, z), (1.0, 0.0, 0.0, 0.0), 0.45))
+            instances.append((2, 2, (x, 3.1, z), (1.0, 0.0, 0.0, 0.0), 0.5))
+            if k % 2 == 0:
+                instances.append((3, 3, (x, 3.8, z), (1.0, 0.0, 0.0, 0.0), 0.35))
+        # architrave beams along each colonnade
+        for k in range(n_cols - 1):
+            x = -12.0 + 2.0 * k
+            instances.append((4, 4, (x, 3.6, side * 4.0),
+                              (1.0, 0.0, 0.0, 0.0), 0.9))
+    # central ornaments
+    for k in range(5):
+        instances.append((3, 3, (-8.0 + 4.0 * k, 0.1, 0.0),
+                          (0.92387953, 0.0, 0.38268343, 0.0), 0.8))
+    return meshes, instances, materials
+
+
+def _colonnade_lights(b):
+    b.add_light(position=(6.0, 12.0, 8.0), intensity=220.0)
+    b.add_light(position=(-0.4, -1.0, -0.25), directional=True, intensity=2.0,
+                shadow_slot=0)
+
+
+def colonnade_scene(limits: SceneLimits = None):
+    """The procedural twin of assets/colonnade.glb (see colonnade_spec)."""
+    meshes, instances, materials = colonnade_spec()
+    b = SceneBuilder(limits or SceneLimits())
+    mesh_ids = [b.add_mesh(m) for m in meshes]
+    mat_ids = [
+        b.add_material(
+            base_color=m["base_color"],
+            roughness=m.get("roughness", 0.8),
+            metallic=m.get("metallic", 0.0),
+        )
+        for m in materials
+    ]
+    for mesh_idx, mat_idx, t, q, s in instances:
+        b.add_instance(mesh_ids[mesh_idx], mat_ids[mat_idx],
+                       translation=t, rotation=q, scale=s)
+    _colonnade_lights(b)
+    return b.build()
+
+
 def sponza_like_scene(
     n_instances: int = 10000,
     seed: int = 0,
@@ -149,6 +227,15 @@ def sponza_like_scene(
             primitives.checkerboard_texture(256, squares=16, c0=(220, 160, 90), c1=(120, 80, 50))
         ),
     ]
+    # tangent-space normal maps: the reference normal-maps EVERY pixel
+    # unconditionally (gltf_mesh.frag:46-71); the bench scene carries them so
+    # the measured frame pays the same per-pixel cost
+    nmaps = [
+        b.add_texture(primitives.bump_normal_texture(256, bumps=6, strength=0.8)),
+        b.add_texture(
+            primitives.bump_normal_texture(256, bumps=12, strength=0.6, kind="grooves")
+        ),
+    ]
 
     # LOD chains from the native grid-clustering simplifier (meshopt-parity)
     sph = primitives.uv_sphere(rings=16, sectors=24)
@@ -166,10 +253,13 @@ def sponza_like_scene(
             roughness=float(rng.uniform(0.2, 0.9)),
             metallic=float(rng.choice([0.0, 0.0, 1.0])),
             base_color_tex=texs[i % 2] if i % 3 == 0 else -1,
+            normal_tex=nmaps[i % 2],
         )
         for i in range(32)
     ]
-    floor = b.add_material(base_color=(0.45, 0.45, 0.48, 1.0), roughness=0.9)
+    floor = b.add_material(
+        base_color=(0.45, 0.45, 0.48, 1.0), roughness=0.9, normal_tex=nmaps[1]
+    )
     b.add_instance(plane, floor, translation=(0, -1.0, 0))
 
     pos = rng.uniform(-area / 2, area / 2, size=(n_instances, 2))

@@ -112,6 +112,20 @@ def shade_pbr(
     # Skipped when rt/rt_grid shadows are active (the screen-tile rt kernels
     # need the full 2D lattice).
     shade_fix: bool = True,
+    # edge-aware AA (ops/aa.py): FXAA-class directional blend on
+    # triangle-ID edges only — the production tier replacing the
+    # reference's always-on 4xMSAA (renderer.rs:1047-1087) at ~1-2 ms
+    # instead of SSAA's 4x pixel cost
+    aa: bool = False,
+    # STATIC light-cast specialization: tuple of (shadow_slot, directional)
+    # per shaded light slot, read from the scene at Renderer construction
+    # (slot < 0 = no shadow). Replaces the per-light casts/is_point
+    # lax.conds with compile-time branches — the conds' presence also
+    # evicted the texture quad table from VMEM staging (measured 3.75 ->
+    # 22.8 ms on the texture gather). None keeps the dynamic conds (the
+    # pattern may change per frame). Same contract as light_slots: the
+    # scene's slot/kind pattern must not change at render() time.
+    static_casts: tuple = None,
     # SPMD mesh axis name when the framebuffer is row-sharded: the
     # checkerboard reconstruction exchanges its shard-edge neighbor rows
     # over ICI (see _halo_rows) so sharded == single-device exactly
@@ -362,23 +376,48 @@ def shade_pbr(
                 from renderer_tpu.ops.shadow import shadow_occlusion
 
                 shadow_depth, light_mats = shadow
-                slot = lights.shadow_slot[li]
-                casts = (slot >= 0) & on
-                ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
-                # cond, not where: a light with no shadow slot must SKIP the
-                # whole 2M-pixel lookup at runtime, not compute-and-mask it
-                occl = jax.lax.cond(
-                    casts,
-                    lambda: shadow_occlusion(
-                        world, ndl_geom, light_mats[li],
-                        shadow_depth[jnp.maximum(slot, 0)],
-                        normal=n_geom,
-                        is_point=~lights.directional[li],
-                        light_pos=lights.position[li],
-                    ),
-                    lambda: jnp.ones((1,) + world.shape[1:], jnp.float32),
+                st = None if static_casts is None else (
+                    static_casts[li] if li < len(static_casts) else (-1, True)
                 )
-                radiance = radiance * occl
+                if st is not None:
+                    # STATIC light-cast specialization (the Renderer read the
+                    # scene's slot/kind pattern at construction, like the
+                    # light-count specialization): the casts/is_point conds
+                    # vanish from the program. Beyond their own overhead,
+                    # the conds blocked VMEM staging of the TEXTURE quad
+                    # table in the same program — a measured 3.75 -> 22.8 ms
+                    # regression of the texture gather whenever the
+                    # conditional shadow path was live.
+                    s_slot, s_dir = st
+                    if 0 <= s_slot < shadow_depth.shape[0]:
+                        ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
+                        occl = shadow_occlusion(
+                            world, ndl_geom, light_mats[li],
+                            shadow_depth[s_slot],
+                            normal=n_geom,
+                            is_point=not s_dir,
+                            light_pos=lights.position[li],
+                        )
+                        radiance = radiance * occl
+                else:
+                    slot = lights.shadow_slot[li]
+                    casts = (slot >= 0) & on
+                    ndl_geom = jnp.maximum(_dot_cf(n_geom, l), 0.0)
+                    # cond, not where: a light with no shadow slot must SKIP
+                    # the whole 2M-pixel lookup at runtime, not
+                    # compute-and-mask it
+                    occl = jax.lax.cond(
+                        casts,
+                        lambda: shadow_occlusion(
+                            world, ndl_geom, light_mats[li],
+                            shadow_depth[jnp.maximum(slot, 0)],
+                            normal=n_geom,
+                            is_point=~lights.directional[li],
+                            light_pos=lights.position[li],
+                        ),
+                        lambda: jnp.ones((1,) + world.shape[1:], jnp.float32),
+                    )
+                    radiance = radiance * occl
             contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness) * radiance
             color = color + jnp.where(on, contrib, 0.0)
 
@@ -401,6 +440,10 @@ def shade_pbr(
                 color, score, tri_u, vis, rowpar, y0, _run,
                 bary_from_records,
             )
+    if aa:
+        from renderer_tpu.ops.aa import edge_aa
+
+        color = edge_aa(color, vis.tri_id, halo_axis=halo_axis)
     return jnp.moveaxis(color, 0, -1)  # (H, W, 3) only at the boundary
 
 

@@ -204,6 +204,128 @@ def shadow_caster_truncation(
     return jnp.stack(out)
 
 
+def _weights(n: int, salt: float) -> jnp.ndarray:
+    """(n,) deterministic pseudo-random fold weights in ~[-1, 1] (change
+    detection only — collisions require exact cancellation, measure-zero)."""
+    i = jnp.arange(n, dtype=jnp.float32)
+    return jnp.sin(i * 12.9898 + salt * 78.233)
+
+
+def _fold(x: jnp.ndarray, salt: float) -> jnp.ndarray:
+    """Weighted sum of any (N, ...) array -> one f32 scalar."""
+    x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+    n, k = x.shape
+    return jnp.sum(x * _weights(n, salt)[:, None] * _weights(k, salt + 1.0)[None, :])
+
+
+def shadow_signature(
+    scene, light_mats: jnp.ndarray, lights: Lights, model: jnp.ndarray,
+    n_slots: int,
+) -> jnp.ndarray:
+    """(n_slots,) f32 change-detection signature per atlas slot.
+
+    A slot's rendered depth is a pure function of (its light's face
+    matrices, point/directional kind, active flag) x (the caster set:
+    instance model matrices, mesh ids, alive mask, mesh library). The mesh
+    library is immutable per scene, so the signature folds the rest into
+    one scalar per slot; any change -> the slot re-renders. Sub-f32-epsilon
+    motions (relative ~1e-7 of the weighted sums) can round away — motion
+    below that is also invisible at any practical atlas resolution.
+    Inactive slots get a sentinel so active<->inactive transitions dirty
+    the slot exactly once."""
+    inst = scene.instances
+    alive = inst.alive.astype(jnp.float32)
+    alive_b = alive.reshape((alive.shape[0],) + (1,) * (model.ndim - 1))
+    caster = (
+        _fold(model * alive_b, 2.0)
+        + _fold(inst.mesh_id.astype(jnp.float32)[:, None] * alive[:, None], 3.0)
+        + jnp.sum(alive)
+    )
+
+    def per_slot(slot):
+        match = (lights.shadow_slot == slot) & lights.alive
+        li = jnp.argmax(match)
+        active = jnp.any(match)
+        slot_term = (
+            _fold(light_mats[li].reshape(6, 16), 5.0)
+            + jnp.where(lights.directional[li], 17.0, 39.0)
+        )
+        return jnp.where(active, slot_term + caster, jnp.float32(-1e30))
+
+    return jax.vmap(per_slot)(jnp.arange(n_slots, dtype=jnp.int32))
+
+
+def select_shadow_updates(
+    sig: jnp.ndarray, sig_prev: jnp.ndarray, cursor: jnp.ndarray, budget: int
+):
+    """Round-robin budgeted update scheduling over dirty atlas slots.
+
+    Returns (selected (n,) bool, new_sig, new_cursor). A slot is dirty when
+    its signature changed (NaN prev, the initial state, is always dirty).
+    With budget<=0 every dirty slot renders this frame; otherwise at most
+    `budget` dirty slots render, picked in round-robin order starting at
+    `cursor`, and the cursor advances past the last serviced slot so
+    starved slots win next frame. Un-serviced dirty slots keep their OLD
+    signature and stay dirty."""
+    n = sig.shape[0]
+    dirty = ~(sig == sig_prev)  # NaN prev compares unequal -> dirty
+    if budget <= 0 or budget >= n:
+        sel = dirty
+        new_cursor = jnp.asarray(cursor, jnp.int32)
+    else:
+        order = jnp.mod(jnp.arange(n, dtype=jnp.int32) - cursor, n)
+        pri = jnp.where(dirty, order, n + 1)
+        rank = jnp.argsort(pri)
+        sel_sorted = (jnp.arange(n) < budget) & (pri[rank] <= n)
+        sel = jnp.zeros((n,), bool).at[rank].set(sel_sorted)
+        last_order = jnp.max(jnp.where(sel, order, -1))
+        new_cursor = jnp.where(
+            jnp.any(sel), jnp.mod(cursor + last_order + 1, n), cursor
+        ).astype(jnp.int32)
+    new_sig = jnp.where(sel, sig, sig_prev)
+    return sel, new_sig, new_cursor
+
+
+def render_shadow_atlas_cached(
+    scene,
+    light_mats: jnp.ndarray,
+    lights: Lights,
+    model: jnp.ndarray,
+    lod: jnp.ndarray,
+    n_slots: int,
+    slot_size: int,
+    caster_capacity: int,
+    prev,                     # (atlas (n,S,S), sig (n,), cursor ()) persistent
+    budget: int = 0,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+    scene_min=None,
+    scene_max=None,
+):
+    """Amortized shadow atlas: re-render only slots whose inputs changed.
+
+    The reference re-renders its whole 16x4096^2 atlas every frame inside a
+    desktop-GPU budget (shadow_mapping.rs:345-491, 22-24); on TPU a cold
+    16x4096^2 render is ~690 ms (PERF.md session 5b), so the TPU-native
+    answer is amortization: the atlas is persistent frame state, a per-slot
+    signature (shadow_signature) detects light/caster changes, and at most
+    `budget` dirty slots re-render per frame (select_shadow_updates,
+    round-robin). Static scenes converge to ZERO raster work; a moved light
+    re-renders within ceil(dirty/budget) frames. Returns
+    (atlas, (atlas, new_sig, new_cursor))."""
+    atlas_prev, sig_prev, cursor = prev
+    sig = shadow_signature(scene, light_mats, lights, model, n_slots)
+    sel, new_sig, new_cursor = select_shadow_updates(sig, sig_prev, cursor, budget)
+    atlas = render_shadow_atlas_per_light(
+        scene, light_mats, lights, model, lod, n_slots, slot_size,
+        caster_capacity, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
+        selected=sel, atlas_prev=atlas_prev,
+        scene_min=scene_min, scene_max=scene_max,
+    )
+    return atlas, (atlas, new_sig, new_cursor)
+
+
 def render_shadow_atlas_per_light(
     scene,
     light_mats: jnp.ndarray,  # (L, 6, 4, 4) from light_matrices_cube
@@ -215,6 +337,10 @@ def render_shadow_atlas_per_light(
     caster_capacity: int,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    selected: jnp.ndarray = None,   # (n_slots,) bool: render only these,
+    atlas_prev: jnp.ndarray = None,  # keep prev slot depth for the rest
+    scene_min=None,
+    scene_max=None,
 ) -> jnp.ndarray:
     """Depth atlas with PER-LIGHT caster culling + expansion.
 
@@ -227,11 +353,24 @@ def render_shadow_atlas_per_light(
     slot's 2x3 face grid (each face per-face culled+expanded). Shadow
     rasterization is two-sided. use_pallas runs the tile kernel per pass
     (measured at the 1080p/10k bench, 4x512^2 slots, 64k caster capacity:
-    2530 -> ~ms-scale vs the XLA scan rasterizer)."""
+    2530 -> ~ms-scale vs the XLA scan rasterizer).
+
+    selected/atlas_prev (the amortized-cache path): slots with
+    selected[slot]==False skip the whole cull+expand+raster and return
+    atlas_prev[slot] unchanged.
+
+    scene_min/scene_max: when given, DIRECTIONAL slots pick caster LOD by
+    distance from the light's virtual eye (camera-INDEPENDENT — required
+    for the cache to be exact under camera motion, and matching the
+    reference's light-distance pick, shadow_mapping.rs:462); when None the
+    camera's `lod` pick is used (legacy behavior)."""
     from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only, mats44
 
     model = mats44(model)
     fw, fh = slot_size // 2, slot_size // 4  # cube face viewport
+    if scene_min is not None:
+        center = (scene_min + scene_max) * 0.5
+        radius = jnp.linalg.norm(scene_max - scene_min) * 0.5 + 1e-3
 
     def _raster(clip, valid, count, w, h):
         can_pallas = use_pallas and w % 128 == 0 and h % 32 == 0
@@ -263,9 +402,23 @@ def render_shadow_atlas_per_light(
         is_point = active & ~lights.directional[li]
 
         def directional(_):
-            # ortho projection: texel footprint is uniform, the camera
-            # coverage pick is the right detail proxy
-            return _render_view(light_mats[li, 0], active, slot_size, slot_size, lod)
+            if scene_min is not None:
+                # camera-independent pick: LOD by distance from the light's
+                # virtual eye (the ortho camera origin used by
+                # light_matrices_cube) — the atlas depends only on
+                # light + casters, so the cache is exact under camera orbit
+                d_dir = lights.position[li] / jnp.maximum(
+                    jnp.linalg.norm(lights.position[li]), 1e-8
+                )
+                eye = center - d_dir * (radius * 2.0)
+                lod_pick = lod_by_distance(scene, model, eye)
+            else:
+                # legacy: ortho texel footprint is uniform, camera coverage
+                # pick is a usable detail proxy (but camera-DEPENDENT)
+                lod_pick = lod
+            return _render_view(
+                light_mats[li, 0], active, slot_size, slot_size, lod_pick
+            )
 
         def point(_):
             # perspective: pick LOD by distance to THIS light (ref
@@ -288,14 +441,25 @@ def render_shadow_atlas_per_light(
             # ~1/3 of the shadow pass at the bench's one-light config)
             return jnp.ones((slot_size, slot_size), jnp.float32)
 
-        return jax.lax.cond(
+        fresh = jax.lax.cond(
             active,
             lambda _: jax.lax.cond(is_point, point, directional, operand=None),
             empty,
             operand=None,
         )
+        return fresh
 
-    return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
+    if selected is None:
+        return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
+
+    def per_slot_cached(slot):
+        # cond, not where: an unselected slot must SKIP its whole
+        # cull+expand+raster chain (the point of the cache)
+        return jax.lax.cond(
+            selected[slot], per_slot, lambda s: atlas_prev[s], slot
+        )
+
+    return jax.lax.map(per_slot_cached, jnp.arange(n_slots, dtype=jnp.int32))
 
 
 def shadow_occlusion(
@@ -325,6 +489,7 @@ def shadow_occlusion(
     fw, fh = s // 2, s // 4
     if light_mat.ndim == 2:
         light_mat = jnp.broadcast_to(light_mat, (6, 4, 4))
+    static_kind = is_point if isinstance(is_point, bool) else None
     is_point = jnp.asarray(is_point)
     if light_pos is None:
         light_pos = jnp.zeros((3,), jnp.float32)
@@ -335,13 +500,17 @@ def shadow_occlusion(
     tail = world.shape[1:]  # (H, W) image or (P,) flat — shape-generic
 
     def _pcf(tx, ty, ref_d, inside, x_lo, x_hi, y_lo, y_hi, xn, yn):
-        """2x2 PCF via a per-texel quad table: ONE row-gather per pixel
-        replaces FOUR 1-wide gathers (1-wide gathers run at ~6x the
-        per-index cost; the four-tap form measured ~190 ms/frame for two
-        lights at 1080p). The table's +1 neighbors are pre-clamped (slot
-        edge or cube-face rect); bases clamped up from BELOW a bound
-        collapse both taps onto the edge texel, reproduced exactly by the
-        px_in/py_in selects."""
+        """2x2 PCF via a GROUP-PACKED per-texel quad table: ONE 16-lane
+        row-gather per pixel. A (P, 4) f32 gather runs in the narrow-row
+        regime (~6x the per-index cost — measured 26.9 ms/frame at 1080p,
+        the whole shadow-lookup budget), so 4 consecutive texels' quads
+        share one 16-lane (64 B) physical row and a 2-level lane-select
+        tree picks the texel's slice — the exact recipe of the texture
+        sampler's quad table (ops/texture.py _gather_quad_row, PERF.md
+        round-3). The table's +1 neighbors are pre-clamped (slot edge or
+        cube-face rect); bases clamped up from BELOW a bound collapse both
+        taps onto the edge texel, reproduced exactly by the px_in/py_in
+        selects."""
         x0 = jnp.floor(tx).astype(jnp.int32)
         y0 = jnp.floor(ty).astype(jnp.int32)
         fx = tx - x0
@@ -362,10 +531,27 @@ def shadow_occlusion(
         quad_rows = jax.lax.dot_general(
             quad, eye4, (((0,), (0,)), ((), ())), precision="highest"
         )  # (S*S, 4) row-major
+        grouped = quad_rows.reshape(-1, 16)  # 4 texels per 64 B row
         x0c = jnp.clip(x0, x_lo, x_hi)
         y0c = jnp.clip(y0, y_lo, y_hi)
-        rows = quad_rows[(y0c * s + x0c).reshape(-1)]  # (P, 4) — THE gather
-        r = [rows[:, k].reshape(tail) for k in range(4)]
+        flat_idx = (y0c * s + x0c).reshape(-1)
+        rows16 = grouped[flat_idx >> 2]  # (P, 16) — THE gather
+        # ONE MXU transpose to channel-major (16, P): the lane-select tree
+        # on (P, k<8) intermediates materialized padded tiles (2x 4.7 ms +
+        # 4x 1.4 ms slice fusions at 1080p); after the transpose every
+        # select/compare below is a dense fusable (H, W) plane op (the
+        # texture sampler's channel-major relayout, made explicit).
+        eye16 = jnp.eye(16, dtype=jnp.float32)
+        planes16 = jax.lax.dot_general(
+            eye16, rows16, (((1,), (1,)), ((), ())), precision="highest"
+        ).reshape((16,) + tail)
+        sub = (flat_idx & 3).reshape(tail)
+        r = []
+        for k in range(4):
+            v = planes16[k]
+            for j in range(1, 4):
+                v = jnp.where(sub == j, planes16[4 * j + k], v)
+            r.append(v)
         px_in = x0 >= x_lo
         py_in = y0 >= y_lo
         t00 = r[0]
@@ -464,6 +650,10 @@ def shadow_occlusion(
             col * fw, col * fw + fw - 1, row * fh, row * fh + fh - 1, xn, yn,
         )
 
+    # static is_point (the Renderer's light-cast specialization): pick the
+    # branch at trace time — no conditional in the program at all
+    if static_kind is not None:
+        return (_point() if static_kind else _directional())[None]
     # cond, not where: a directional light must not pay the point path's
     # per-pixel face blend and vice versa
     return jax.lax.cond(is_point, _point, _directional)[None]  # (1, H, W)

@@ -101,8 +101,15 @@ def _gather_quad_row(atlas, idx, ncols=None):
     shift = pack.bit_length() - 1
     sub = idx & (pack - 1)
     if ncols <= 4:
-        # contiguous-prefix slice of the table: XLA narrows the gather
-        rows = atlas.quad_u32[:, : 4 * pack][idx >> shift]  # (..., 4*pack)
+        # bilinear-only: gather from the DEDICATED contiguous prefix table.
+        # (A [:, :4*pack] slice of quad_u32 relied on XLA narrowing the
+        # gather — it did for small atlases, then flipped to gathering full
+        # 256 B rows at 4 layers: 3.75 -> 22.8 ms/frame. Materializing the
+        # prefix at build time makes the narrow gather unconditional.)
+        bl = atlas.quad_bl_u32
+        if bl is None:
+            bl = atlas.quad_u32[:, : 4 * pack]
+        rows = bl[idx >> shift]  # (..., 4*pack)
         chunks = [rows[..., 4 * k : 4 * k + ncols] for k in range(pack)]
     else:
         rows = atlas.quad_u32[idx >> shift]  # (..., QUAD_COLS * pack)

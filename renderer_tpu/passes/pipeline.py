@@ -30,9 +30,14 @@ class PipelineConfig:
     # pre-cull expansion capacity (two-phase path); 0 = 2x tri_capacity
     expand_capacity_: int = 0
     # supersampling factor: render at ssaa*W x ssaa*H, box-resolve down.
-    # The TPU-native replacement for the reference's 4x MSAA + cmd_resolve
-    # (renderer.rs:1047-1087, 1716): no coverage hardware, so SSAA.
+    # The quality-parity replacement for the reference's 4x MSAA +
+    # cmd_resolve (renderer.rs:1047-1087, 1716): no coverage hardware, so
+    # SSAA. See `aa` for the production tier.
     ssaa: int = 1
+    # "edge": edge-aware morphological AA on triangle-ID edges (ops/aa.py)
+    # — the ~1-2 ms production anti-aliasing tier (PBR path only);
+    # "none" leaves edges aliased (SSAA covers the quality-parity case).
+    aa: str = "none"
     cull_backface: bool = True
     background: tuple = (0.05, 0.05, 0.08)
     shading: str = "pbr"  # "pbr" (GGX metallic-roughness) | "lambert"
@@ -46,6 +51,16 @@ class PipelineConfig:
     # per-light caster expansion capacity (0 = tri_capacity); casters are
     # culled against each LIGHT's frustum, not the camera's
     shadow_tri_capacity: int = 0
+    # amortized atlas: persist the atlas across frames, re-render only slots
+    # whose light/caster signature changed (ops/shadow.py
+    # render_shadow_atlas_cached). Static scenes converge to zero raster
+    # work — the TPU answer to the reference's every-frame 16x4096^2 atlas
+    # (shadow_mapping.rs:22-24). False = legacy re-render-all-every-frame.
+    shadow_cache: bool = True
+    # with shadow_cache: max dirty slots re-rendered per frame (round-robin;
+    # 0 = all dirty slots immediately). Budget >=1 makes even the 16x4096^2
+    # reference envelope interactive amortized (one slot ~= 62 ms at 2048^2).
+    shadow_update_budget: int = 0
     # cluster-grain (meshlet-style) frustum/backface culling before
     # expansion. Wins on full-LOD/high-poly content where 32-triangle
     # normal cones are tight; the LOD-heavy instancing bench measures ~5 ms
@@ -59,6 +74,13 @@ class PipelineConfig:
     # measured ~1.5 ms/slot at 1080p). Lights are table-prefix-packed by
     # SceneBuilder, so a prefix bound shades every live light.
     shade_light_slots: int = None
+    # static light-cast pattern: tuple of (shadow_slot, directional) per
+    # shaded slot, auto-read from the scene by the Renderer (like
+    # shade_light_slots). Removes the per-light casts/is_point lax.conds
+    # from the shadowed shade — whose mere presence evicted the texture
+    # quad table from VMEM staging (texture gather 3.75 -> 22.8 ms).
+    # None = dynamic conds (pattern may change per frame).
+    static_light_casts: tuple = None
     # shade sample rate (quality knob like `trilinear`): "full" shades every
     # pixel; "checkerboard" shades the (x+y)-even half-lattice exactly and
     # reconstructs the rest from same-triangle neighbors (ops/pbr.py
@@ -89,6 +111,9 @@ class PipelineConfig:
     def __post_init__(self):
         assert self.tri_capacity % 128 == 0, "tri_capacity must be 128-aligned"
         assert self.shade_rate in ("full", "checkerboard")
+        assert self.aa in ("none", "edge")
+        if self.aa == "edge":
+            assert self.shading == "pbr", "edge AA is PBR-only"
         if self.shade_rate != "full":
             assert self.shading == "pbr", "shade_rate tiers are PBR-only"
             assert self.width * self.ssaa % 2 == 0
@@ -208,6 +233,20 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
         "nothing can be occlusion-culled on frame 1)",
     )
     g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
+    if cfg.shadow_cache:
+        g.resource(
+            "shadow_cache",
+            persistent=True,
+            init=lambda: (
+                jnp.ones((cfg.shadow_slots, cfg.shadow_size, cfg.shadow_size),
+                         jnp.float32),
+                jnp.full((cfg.shadow_slots,), jnp.nan, jnp.float32),
+                jnp.zeros((), jnp.int32),
+            ),
+            desc="amortized shadow atlas state: (atlas, per-slot signature, "
+            "round-robin cursor); NaN signatures = everything dirty on "
+            "frame 1",
+        )
     g.resource("image", desc="linear RGB framebuffer (output resolution)")
     g.resource("image_pre", desc="framebuffer before the overlay/present pass")
     if cfg.ssaa > 1:
@@ -412,31 +451,63 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     def raster_dbg(soup):
         return _raster_body(soup, with_bary=True)
 
-    @g.pass_(
-        "shadow_pass",
-        reads=["scene_view", "prepared"],
-        writes=["shadow"],
-        condition=["shadows", "!debug_aabbs"],
-        queue="graphics",
-    )
-    def shadow_pass(scene_view, prepared):
-        scene = scene_view
-        from renderer_tpu.ops.shadow import (
-            light_matrices_cube,
-            render_shadow_atlas_per_light,
+    if cfg.shadow_cache:
+        @g.pass_(
+            "shadow_pass",
+            reads=["scene_view", "prepared"],
+            reads_prev=["shadow_cache"],
+            writes=["shadow", "shadow_cache"],
+            condition=["shadows", "!debug_aabbs"],
+            queue="graphics",
         )
+        def shadow_pass(scene_view, prepared, shadow_cache_prev):
+            scene = scene_view
+            from renderer_tpu.ops.shadow import (
+                light_matrices_cube,
+                render_shadow_atlas_cached,
+            )
 
-        model, lod = prepared[0], prepared[4]
-        scene_min, scene_max = prepared[5], prepared[6]
-        mats = light_matrices_cube(scene.lights, scene_min, scene_max)
-        atlas = render_shadow_atlas_per_light(
-            scene, mats, scene.lights, model, lod,
-            cfg.shadow_slots, cfg.shadow_size,
-            cfg.shadow_tri_capacity or cfg.tri_capacity,
-            use_pallas=cfg.use_pallas and cfg.shadow_size % 128 == 0,
-            pallas_interpret=cfg.pallas_interpret,
+            model, lod = prepared[0], prepared[4]
+            scene_min, scene_max = prepared[5], prepared[6]
+            mats = light_matrices_cube(scene.lights, scene_min, scene_max)
+            atlas, new_cache = render_shadow_atlas_cached(
+                scene, mats, scene.lights, model, lod,
+                cfg.shadow_slots, cfg.shadow_size,
+                cfg.shadow_tri_capacity or cfg.tri_capacity,
+                prev=shadow_cache_prev,
+                budget=cfg.shadow_update_budget,
+                use_pallas=cfg.use_pallas and cfg.shadow_size % 128 == 0,
+                pallas_interpret=cfg.pallas_interpret,
+                scene_min=scene_min, scene_max=scene_max,
+            )
+            return {"shadow": (atlas, mats), "shadow_cache": new_cache}
+    else:
+        @g.pass_(
+            "shadow_pass",
+            reads=["scene_view", "prepared"],
+            writes=["shadow"],
+            condition=["shadows", "!debug_aabbs"],
+            queue="graphics",
         )
-        return {"shadow": (atlas, mats)}
+        def shadow_pass(scene_view, prepared):
+            scene = scene_view
+            from renderer_tpu.ops.shadow import (
+                light_matrices_cube,
+                render_shadow_atlas_per_light,
+            )
+
+            model, lod = prepared[0], prepared[4]
+            scene_min, scene_max = prepared[5], prepared[6]
+            mats = light_matrices_cube(scene.lights, scene_min, scene_max)
+            atlas = render_shadow_atlas_per_light(
+                scene, mats, scene.lights, model, lod,
+                cfg.shadow_slots, cfg.shadow_size,
+                cfg.shadow_tri_capacity or cfg.tri_capacity,
+                use_pallas=cfg.use_pallas and cfg.shadow_size % 128 == 0,
+                pallas_interpret=cfg.pallas_interpret,
+                scene_min=scene_min, scene_max=scene_max,
+            )
+            return {"shadow": (atlas, mats)}
 
     def _shade(vis, soup, shade_rec, scene, camera, prepared, shadow=None, rt=None,
                rt_grid=None):
@@ -457,6 +528,8 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 light_slots=cfg.shade_light_slots,
                 checkerboard=(cfg.shade_rate == "checkerboard"),
                 shade_fix=cfg.shade_fix,
+                aa=(cfg.aa == "edge"),
+                static_casts=cfg.static_light_casts,
                 halo_axis=axis if SP else None,
             )
         img = shading.shade_lambert(

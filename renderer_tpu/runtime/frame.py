@@ -70,6 +70,24 @@ class Renderer:
             self.cfg = dataclasses.replace(
                 self.cfg, shade_light_slots=int(np.asarray(scene.lights.count))
             )
+        if self.cfg.static_light_casts is None:
+            # static light-cast specialization (same contract): the scene's
+            # (shadow_slot, directional) pattern is compiled in, removing
+            # the per-light casts/is_point conds from the shadowed shade.
+            # Scenes passed to render() later must keep the same pattern.
+            import numpy as np
+
+            k = self.cfg.shade_light_slots
+            slots = np.asarray(scene.lights.shadow_slot)[:k]
+            dirs = np.asarray(scene.lights.directional)[:k]
+            alive = np.asarray(scene.lights.alive)[:k]
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                static_light_casts=tuple(
+                    (int(s) if a else -1, bool(d))
+                    for s, d, a in zip(slots, dirs, alive)
+                ),
+            )
         self.spmd_mesh = spmd_mesh
         if spmd_mesh is not None:
             assert self.cfg.spmd_devices == spmd_mesh.shape[self.cfg.spmd_axis], (

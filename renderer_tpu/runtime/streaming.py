@@ -240,7 +240,11 @@ class SceneStreamer:
                 from renderer_tpu.scene import SceneBuilder, SceneLimits
                 from renderer_tpu.scene.gltf import load_gltf
 
-                b = load_gltf(str(source), SceneBuilder(SceneLimits.tiny()))
+                # full default limits, not tiny(): the decode builder only
+                # carries mesh/instance tables transiently, and a committed
+                # asset (e.g. assets/colonnade.glb, 158 instances) overflows
+                # tiny's instance table
+                b = load_gltf(str(source), SceneBuilder(SceneLimits()))
                 mesh = b._meshes[0]
             return (mesh, material_id, translation, rotation, scale)
 
@@ -462,10 +466,17 @@ class SceneStreamer:
         )
         new_atlas = atlas._replace(packed_u32=packed)
         if atlas.quad_u32 is not None:
+            new_quad = _upload_texture_quads(
+                atlas.quad_u32, atlas.level_offset, jnp.int32(layer), *staged
+            )
             new_atlas = new_atlas._replace(
-                quad_u32=_upload_texture_quads(
-                    atlas.quad_u32, atlas.level_offset, jnp.int32(layer), *staged
-                )
+                quad_u32=new_quad,
+                # refresh the dedicated bilinear-prefix table (one slice
+                # copy of the packed table; see TextureAtlas.quad_bl_u32)
+                quad_bl_u32=(
+                    None if atlas.quad_bl_u32 is None
+                    else new_quad[:, : 4 * atlas.quad_pack]
+                ),
             )
         self.scene = self.scene._replace(atlas=new_atlas)
 

@@ -144,3 +144,30 @@ def checkerboard_texture(size=256, squares=8, c0=(200, 200, 200), c1=(40, 40, 60
     img[..., :3] = np.where(mask[..., None] == 0, np.uint8(c0), np.uint8(c1))
     img[..., 3] = 255
     return img
+
+
+def bump_normal_texture(size=256, bumps=8, strength=0.8, kind="bumps"):
+    """(size, size, 4) uint8 tangent-space normal map (+Z up, 0.5-biased).
+
+    kind="bumps": sinusoidal bump grid; kind="grooves": axis-aligned ridge
+    lines (brick-like). strength is the peak tangent-plane slope. The
+    procedural stand-in for the reference's normal_map[] bindless textures
+    (gltf_mesh.frag:46-71 perturbs every pixel's normal through TBN)."""
+    t = np.linspace(0.0, 2.0 * np.pi * bumps, size, endpoint=False, dtype=np.float32)
+    if kind == "bumps":
+        gx = np.cos(t)[None, :] * np.sin(t)[:, None]
+        gy = np.sin(t)[None, :] * np.cos(t)[:, None]
+    elif kind == "grooves":
+        gx = np.cos(t)[None, :] * np.ones((size, 1), np.float32)
+        gy = 0.3 * np.cos(t * 0.5)[:, None] * np.ones((1, size), np.float32)
+    else:
+        raise ValueError(kind)
+    n = np.stack(
+        [-gx * strength, -gy * strength, np.ones((size, size), np.float32)],
+        axis=-1,
+    )
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.clip(np.round((n * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img

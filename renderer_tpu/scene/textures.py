@@ -43,6 +43,12 @@ class TextureAtlas(NamedTuple):
     n_layers: "np.ndarray"      # () int32
     # (total_texels // QUAD_PACK, QUAD_COLS * QUAD_PACK) u32, or None
     quad_u32: "np.ndarray" = None
+    # the bilinear prefix (quad_u32[:, :4*pack]) as its OWN contiguous
+    # array: bilinear-only sampling gathers from this instead of relying on
+    # XLA to narrow the gather through a column slice — the compiler
+    # narrowed it for small atlases but flipped to full 256 B rows (a
+    # measured 3.75 -> 22.8 ms/frame cliff) when the atlas grew
+    quad_bl_u32: "np.ndarray" = None
 
     @property
     def num_levels(self) -> int:
@@ -233,17 +239,21 @@ class TextureAtlasBuilder:
         offsets = np.asarray(offsets, np.int32)
         sizes = np.asarray(sizes, np.int32)
         quad = None
+        quad_bl = None
         pack = QUAD_PACK if p32.shape[0] % QUAD_PACK == 0 else 1
         # physical row = 128 lanes * 4 B regardless of pack; pack texels share it
         if p32.shape[0] * 512 // pack <= QUAD_TABLE_MAX_BYTES:
             q = build_quad_table(p32, offsets, sizes, n)
-            quad = jnp.asarray(pack_quad_rows(q, pack))
+            packed_rows = pack_quad_rows(q, pack)
+            quad = jnp.asarray(packed_rows)
+            quad_bl = jnp.asarray(np.ascontiguousarray(packed_rows[:, : 4 * pack]))
         return TextureAtlas(
             packed_u32=jnp.asarray(p32),
             level_offset=jnp.asarray(offsets),
             level_size=jnp.asarray(sizes),
             n_layers=jnp.asarray(np.int32(n_real)),
             quad_u32=quad,
+            quad_bl_u32=quad_bl,
         )
 
 

@@ -38,6 +38,9 @@ def main():
         shade_rate="checkerboard" if cb else "full", shade_fix=cb,
     )
     r = Renderer(scene, cfg, outputs=("image",))
+    if os.environ.get("RT_SHADOWS", "") == "1":  # attribute the shadowed frame
+        r.set_config(shadows=True)
+        r.apply_config_now()
     plan = r.plans.plan(r.config.as_dict())
     declared = r._external_names()
 

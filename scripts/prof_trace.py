@@ -33,6 +33,9 @@ def main():
         shade_rate="checkerboard" if cb else "full", shade_fix=cb,
     )
     r = Renderer(scene, cfg, outputs=("image",))
+    if os.environ.get("RT_SHADOWS", "") == "1":  # attribute the shadowed frame
+        r.set_config(shadows=True)
+        r.apply_config_now()
     cams = [make_camera(0.3 + 0.01 * k) for k in range(8)]
     jax.block_until_ready(r.render(cams[0])["image"])  # compile
     t0 = time.perf_counter()

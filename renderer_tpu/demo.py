@@ -72,9 +72,34 @@ def build_scene(name: str):
         from renderer_tpu.models.scenes import skinned_scene
 
         return skinned_scene()
+    elif name == "colonnade":
+        # the committed GLB asset, through the from-scratch parser (its
+        # procedural twin is models.scenes.colonnade_scene)
+        import os
+
+        from renderer_tpu.models.scenes import _colonnade_lights
+        from renderer_tpu.scene.gltf import load_gltf
+
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "colonnade.glb")
+        bb = load_gltf(path, SceneBuilder(SceneLimits()))
+        _colonnade_lights(bb)
+        return bb.build()
+    elif name == "city":
+        from renderer_tpu.models.scenes import city_scene
+
+        return city_scene()
+    elif name.startswith("glb:"):
+        from renderer_tpu.models.scenes import _colonnade_lights
+        from renderer_tpu.scene.gltf import load_gltf
+
+        bb = load_gltf(name[4:], SceneBuilder(SceneLimits()))
+        _colonnade_lights(bb)  # default lights; GLB carries no lights
+        return bb.build()
     else:
         raise SystemExit(
-            f"unknown scene {name!r} (try: box, spheres, mixed, textured, skinned)"
+            f"unknown scene {name!r} (try: box, spheres, mixed, textured, "
+            "skinned, colonnade, city, glb:<path>)"
         )
     b.add_light(position=(3.0, 5.0, 4.0), intensity=30.0)
     b.add_light(position=(-0.5, -1.0, -0.3), directional=True, intensity=0.35, shadow_slot=0)

@@ -117,6 +117,68 @@ def skinned_scene(limits: SceneLimits = None):
     return b.build()
 
 
+def city_scene(
+    grid: int = 20,
+    seed: int = 0,
+    segments: int = 12,
+    limits: SceneLimits = None,
+) -> "Scene":
+    """Overdraw-heavy city blocks: the occlusion-culling design point.
+
+    A street-level camera inside a grid of dense (subdivided) buildings
+    sees a few fronts occluding hundreds of blocks behind them — geometry
+    cost far exceeds the ~6 ms two-pass hi-z machinery, which the flat
+    instanced field (sponza_like_scene) never rewards (PERF.md round-3
+    session 5b: occlusion was a net loss there). Ref: the reference's
+    GPU-driven culling exists exactly for scenes whose potential geometry
+    dwarfs the visible set (generate_work.comp:36-50)."""
+    rng = np.random.default_rng(seed)
+    limits = limits or SceneLimits(
+        max_instances=4096, max_vertices=1 << 16, max_triangles=1 << 16,
+        max_materials=32, max_lights=4,
+    )
+    b = SceneBuilder(limits)
+    ground = b.add_mesh(primitives.plane(size=grid * 8.0 * 1.2))
+    # UNIFORM height: a varied skyline lets far building TOPS peek over
+    # near ones, which instance-grain occlusion (AABB vs depth pyramid)
+    # can never cull — measured: mixed heights gave occlusion only a
+    # 1.4 ms win; a uniform canyon is the scene class the feature exists
+    # for (street-level rows fully hide the blocks behind them)
+    heights = (3.0, 3.0, 3.0)
+    variants = [
+        b.add_mesh(primitives.subdivided_box(segments=segments, height=h))
+        for h in heights
+    ]
+    mats = [
+        b.add_material(
+            base_color=tuple(rng.uniform(0.35, 0.8, 3)) + (1.0,),
+            roughness=float(rng.uniform(0.5, 0.95)),
+        )
+        for _ in range(12)
+    ]
+    b.add_instance(ground, b.add_material(base_color=(0.3, 0.3, 0.32, 1.0), roughness=0.95),
+                   translation=(0, 0, 0))
+    pitch = 8.0
+    half = grid * pitch / 2.0
+    for gx in range(grid):
+        for gz in range(grid):
+            x = -half + pitch * (gx + 0.5) + rng.uniform(-0.5, 0.5)
+            z = -half + pitch * (gz + 0.5) + rng.uniform(-0.5, 0.5)
+            s = rng.uniform(2.6, 3.0)
+            vi = int(rng.integers(0, len(variants)))
+            b.add_instance(
+                variants[vi],
+                mats[int(rng.integers(0, len(mats)))],
+                # base on the ground: the mesh spans +-height/2 pre-scale
+                translation=(x, 0.5 * heights[vi] * s, z),
+                scale=float(s),
+            )
+    b.add_light(position=(0.3, -1.0, 0.15), directional=True, intensity=2.5,
+                shadow_slot=0)
+    b.add_light(position=(0.0, 60.0, 0.0), intensity=2500.0)
+    return b.build()
+
+
 def colonnade_spec():
     """Sponza-class committed-asset spec: an atrium colonnade.
 

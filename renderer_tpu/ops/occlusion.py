@@ -97,21 +97,31 @@ def occlusion_cull(
         levels - 1,
     )
 
-    # gather a 2x2 neighborhood at that level (covers the bbox footprint)
+    # gather a texel neighborhood at that level covering the bbox footprint:
+    # 2x2 suffices for every level the lvl rule assigns (extent <= texel),
+    # but big boxes CLAMP to the top level — there a 4x4 window covers
+    # extents up to 3 top-texels, and anything larger must never cull
+    # (sampling only a corner of a huge bbox once culled partially-visible
+    # buildings in the city scene: visible counts oscillated 140k -> 2 ->
+    # 128k as the over-culled frame emptied the next frame's pyramid).
+    top_scale = 2 << (levels - 1)
+    too_big = extent > 3.0 * top_scale
     occluded = jnp.zeros((n,), bool)
     for l in range(levels):  # static unroll; select the right level's answer
         d = pyramid[l]
         scale = 2 << l  # pixels per texel at this level
         lh, lw = d.shape
+        taps = 4 if l == levels - 1 else 2
         tx0 = jnp.clip((x0 / scale).astype(jnp.int32), 0, lw - 1)
         ty0 = jnp.clip((y0 / scale).astype(jnp.int32), 0, lh - 1)
-        tx1 = jnp.clip(tx0 + 1, 0, lw - 1)
-        ty1 = jnp.clip(ty0 + 1, 0, lh - 1)
-        far4 = jnp.maximum(
-            jnp.maximum(d[ty0, tx0], d[ty0, tx1]),
-            jnp.maximum(d[ty1, tx0], d[ty1, tx1]),
-        )
-        occ_l = zmin > far4  # nearest point is behind the farthest occluder
+        far = None
+        for dy in range(taps):
+            ty = jnp.clip(ty0 + dy, 0, lh - 1)
+            for dx in range(taps):
+                tx = jnp.clip(tx0 + dx, 0, lw - 1)
+                v = d[ty, tx]
+                far = v if far is None else jnp.maximum(far, v)
+        occ_l = zmin > far  # nearest point is behind the farthest occluder
         occluded = jnp.where(lvl == l, occ_l, occluded)
 
-    return visible & ~(occluded & safe)
+    return visible & ~(occluded & safe & ~too_big)

@@ -104,13 +104,13 @@ def shade_pbr(
     # same-triangle cardinal neighbors (see _checkerboard_expand)
     checkerboard: bool = False,
     # checkerboard edge fix: exactly re-shade the worst reconstructed pixels
-    # (same-triangle neighbor color spread ranks them; capacity ~P/32). The
-    # reconstruction's only real errors sit on triangle-edge pixels whose
-    # neighbors sample a different surface point; re-shading the top ~3%
-    # lifts the bench frame from 36.3 to 41.6 dB display-clamped — past the
-    # 40 dB BASELINE gate — for ~2 ms (measured: scripts/prof_cbfix.py).
-    # Skipped when rt/rt_grid shadows are active (the screen-tile rt kernels
-    # need the full 2D lattice).
+    # (same-triangle neighbor color spread ranks them; capacity P/FIX_K_DIV).
+    # On pure-geometry content errors sit on triangle-edge pixels; with
+    # normal maps they also spread over interiors (per-pixel normal
+    # variation), so K = P/16 + the normal-map LOD bias + Toksvig keep the
+    # bench's min-pose PSNR at 40.9 dB (scripts/prof_cbfix.py NM=1,
+    # PERF.md round-4 session 2). Skipped when rt/rt_grid shadows are
+    # active (the screen-tile rt kernels need the full 2D lattice).
     shade_fix: bool = True,
     # edge-aware AA (ops/aa.py): FXAA-class directional blend on
     # triangle-ID edges only — the production tier replacing the
@@ -322,10 +322,37 @@ def shade_pbr(
             t = tangent
             t = _normalize_cf(t - n_geom * _dot_cf(t, n_geom))
             b = _cross_cf(n_geom, t) * tan_w
-            nm = sample_atlas_cf(scene.atlas, nm_layer, u, v_, tex_lod, trilinear=trilinear)
+            # normal-map LOD bias: sample normals one mip softer than color.
+            # At the mip transition a bump map's normals vary at ~pixel
+            # frequency — shimmer in the exact frame (and unreconstructable
+            # detail for the checkerboard tier). One extra level of
+            # filtering removes the pixel-rate variation; the Toksvig term
+            # below converts the filtered-away variance into roughness, so
+            # energy response stays consistent (standard normal-map
+            # filtering practice; the reference samples normal maps with
+            # hardware trilinear+aniso which performs the same smoothing).
+            nm = sample_atlas_cf(
+                scene.atlas, nm_layer, u, v_, tex_lod + NM_LOD_BIAS,
+                trilinear=trilinear,
+            )
             nx, ny, nz = nm[0] * 2 - 1, nm[1] * 2 - 1, nm[2] * 2 - 1
             n_mapped = _normalize_cf(t * nx[None] + b * ny[None] + n_geom * nz[None])
             n = jnp.where((nm_layer >= 0)[None], n_mapped, n_geom)
+            # Toksvig specular AA: mip-filtering AVERAGES unit normals, so
+            # the filtered vector's length ell <= 1 encodes the normal
+            # variance inside the texel footprint (sigma^2 ~= (1-ell)/ell).
+            # Fold it into GGX roughness (alpha'^2 = alpha^2 + sigma^2) so
+            # minified bump maps light as rough instead of sparkling —
+            # per-pixel specular aliasing is the dominant error of BOTH the
+            # aliased exact frame and the checkerboard reconstruction on
+            # normal-mapped content (scripts/prof_cbfix.py NM=1: errors
+            # spread over every den class, invisible to neighbor ranking).
+            len2 = jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-6)[None]
+            ell = jnp.sqrt(len2)
+            sigma2 = jnp.clip((1.0 - ell) / ell, 0.0, 1.0)
+            alpha2 = jnp.square(roughness * roughness) + sigma2
+            rough_eff = jnp.sqrt(jnp.sqrt(jnp.minimum(alpha2, 1.0)))
+            roughness = jnp.where((nm_layer >= 0)[None], rough_eff, roughness)
         else:
             n = n_geom
 
@@ -431,11 +458,16 @@ def shade_pbr(
     if checkerboard:
         bg = jnp.asarray(background, jnp.float32)[:, None, None]
         cov_s = tri_in != NO_TRIANGLE
-        color, score, tri_u = _checkerboard_expand(
+        recon, score, tri_u = _checkerboard_expand(
             color, vis.tri_id, tri_in, cov_s, rowpar, bg,
             halo_axis=halo_axis,
         )
+        color = _cb_interleave(color, recon, rowpar)
         if shade_fix and rt is None and rt_grid is None:
+            # the fix scatters into the INTERLEAVED frame: scattering into
+            # the packed recon lattice measured 1.8 ms SLOWER — it forces
+            # recon to materialize where it otherwise fuses into the
+            # interleave pads
             color = _checkerboard_fix(
                 color, score, tri_u, vis, rowpar, y0, _run,
                 bary_from_records,
@@ -448,26 +480,29 @@ def shade_pbr(
 
 
 FIX_TAU = 0.04  # neighbor-spread threshold (sum over channels, HDR)
+NM_LOD_BIAS = 1.5  # normal maps sample ~one mip softer than color (see use)
+# fix capacity divisor: K = P/FIX_K_DIV suspects. 16 on normal-mapped
+# content (errors spread wider than pure geometry edges); the bench gate
+# measures the result either way.
+FIX_K_DIV = 16
 
 
 def _checkerboard_fix(color, score, tri_u, vis, rowpar, y0, run,
                       bary_from_records):
     """Exactly re-shade the worst reconstructed pixels (sparse).
 
-    top_k by neighbor-spread score picks up to K = max(2048, P/32) suspect
-    pixels from the complement lattice; they are re-shaded through the SAME
-    shading closure on an (8, K/8) pseudo-image with explicit pixel-center
-    coordinates — matching what the full-rate path would produce at those
-    pixels (same expressions; ulp-scale cross-shape fusion noise only) —
-    and scattered into the frame. Measured at the 1080p
-    bench (scripts/prof_cbfix.py): 36.3 -> 41.6 dB display-clamped at
-    K = 32k, past BASELINE.md's 40 dB gate. Capacity overflow drops the
-    LOWEST-spread suspects first (deterministic; under SPMD each row shard
-    has its own proportional capacity, identical to single-device whenever
-    no shard truncates)."""
+    approx-top-k by neighbor-spread score picks up to K = max(2048, P/16)
+    suspect pixels from the complement lattice; they are re-shaded through
+    the SAME shading closure on an (8, K/8) pseudo-image with explicit
+    pixel-center coordinates — matching what the full-rate path would
+    produce at those pixels (same expressions; ulp-scale cross-shape fusion
+    noise only) — and scattered into the interleaved frame. Capacity
+    overflow drops the LOWEST-spread suspects first (deterministic; under
+    SPMD each row shard has its own proportional capacity, identical to
+    single-device whenever no shard truncates)."""
     h_, w_ = score.shape
     p2 = h_ * w_
-    k = min(p2 - p2 % 8, max(2048, -(-p2 // 32) // 8 * 8))
+    k = min(p2 - p2 % 8, max(2048, -(-p2 // FIX_K_DIV) // 8 * 8))
     # approx_max_k: the TPU-native partial sort instead of exact top_k's
     # full merge network (0.95 vs 1.2 ms over the 1M lattice at the 1080p
     # bench). Selection is a HEURISTIC ranking — a ~5% recall miss swaps a
@@ -618,10 +653,18 @@ def _checkerboard_expand(shaded, tri_full, tri_s, cov_s, rowpar, bg,
     # interleave the two half-lattices back to full width with
     # interior-padded lax.pads — a stack-to-(H, W/2, 2) would pad its
     # minor dim 2 -> 128 physically (PERF.md layout law)
+    return recon, score, tri_u
+
+
+def _cb_interleave(shaded, recon, rowpar):
+    """(3, H, W/2) shaded + reconstructed half-lattices -> (3, H, W).
+
+    Interleave with interior-padded lax.pads — a stack-to-(H, W/2, 2)
+    would pad its minor dim 2 -> 128 physically (PERF.md layout law)."""
+    par0 = rowpar == 0
     even = jnp.where(par0, shaded, recon)
     odd = jnp.where(par0, recon, shaded)
     zero = jnp.float32(0)
-    out = jax.lax.pad(
+    return jax.lax.pad(
         even, zero, ((0, 0, 0), (0, 0, 0), (0, 1, 1))
     ) + jax.lax.pad(odd, zero, ((0, 0, 0), (0, 0, 0), (1, 0, 1)))
-    return out, score, tri_u

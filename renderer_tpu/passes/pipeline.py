@@ -87,12 +87,13 @@ class PipelineConfig:
     # _checkerboard_expand) — halves the two index-rate-bound 2M-row
     # gathers that dominate the shade pass. PBR path only.
     shade_rate: str = "full"
-    # checkerboard edge fix: exactly re-shade the top ~3% of reconstructed
+    # checkerboard edge fix: exactly re-shade the top P/16 reconstructed
     # pixels (ranked by same-triangle neighbor color spread) through the
-    # same shading closure — lifts the 1080p bench frame from 36.3 to
-    # 41.6 dB display-clamped (past BASELINE.md's 40 dB gate) for ~2 ms.
-    # Only applies when shade_rate="checkerboard"; auto-skipped under
-    # rt/rt_grid shadows (their screen-tile kernels need the full lattice).
+    # same shading closure — with the normal-map LOD bias + Toksvig this
+    # keeps the 1080p bench's min-over-poses PSNR vs the exact frame at
+    # 40.9 dB for ~3 ms. Only applies when shade_rate="checkerboard";
+    # auto-skipped under rt/rt_grid shadows (their screen-tile kernels
+    # need the full lattice).
     shade_fix: bool = True
     # use the Pallas tile rasterizer (needs width%128==0, height%16==0,
     # tri_capacity%256==0); False falls back to the plain-XLA rasterizer

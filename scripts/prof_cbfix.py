@@ -47,8 +47,10 @@ def main():
         )
         img = shade_pbr(
             vis, rec, scene, cam.position, viewproj_inv=prepared[7],
-            enable_textures=True, enable_normal_maps=False, trilinear=False,
-            bary_from_records=True, checkerboard=cb,
+            enable_textures=True,
+            enable_normal_maps=os.environ.get("NM", "0") == "1",
+            trilinear=False,
+            bary_from_records=True, checkerboard=cb, shade_fix=False,
         )
         return img, vis.tri_id
 
@@ -100,6 +102,18 @@ def main():
     err = np.abs(cb_u - full_u).max(axis=-1)
     err = np.where(cov_u, err, 0.0)
 
+    if os.environ.get("DUMP", "") == "1":
+        from renderer_tpu.utils.image import write_png
+
+        heat = np.clip(err / 0.2, 0, 1)
+        write_png("/tmp/cb_err_heat.png", np.stack([heat, heat * 0, 1 - heat], -1))
+        write_png("/tmp/cb_full.png", full)
+        write_png("/tmp/cb_recon.png", cb)
+        # error vs local luma-gradient class: is it specular or diffuse?
+        lum = full_u.mean(axis=-1)
+        print("err>0.05 pixel stats: luma p50/p90:",
+              np.percentile(lum[err > 0.05], [50, 90]))
+        print("all covered luma p50/p90:", np.percentile(lum[cov_u], [50, 90]))
     print(f"lattice pixels: {tri_u.size}, covered: {cov_u.sum()}")
     for d in range(5):
         m = cov_u & (den == d)
@@ -128,7 +142,7 @@ def main():
     }
     for name, sc in scores.items():
         order = np.argsort(-sc.ravel())
-        for K in (8192, 16384, 32768, 65536, 131072):
+        for K in (32768, 65536, 131072, 262144):
             fixed = cb_u.reshape(-1, 3).copy()
             pick = order[:K]
             pick = pick[sc.ravel()[pick] > 0]
@@ -144,7 +158,7 @@ def main():
 
     # oracle: fix the K largest-error pixels (upper bound for any predicate)
     order = np.argsort(-err.ravel())
-    for K in (8192, 16384, 32768, 65536):
+    for K in (32768, 65536, 131072, 262144):
         cbf = cb.copy()
         fixed = cb_u.reshape(-1, 3).copy()
         fixed[order[:K]] = full_u.reshape(-1, 3)[order[:K]]

@@ -28,7 +28,9 @@ def main():
     cb = os.environ.get("RT_CB", "") == "1"  # trace the checkerboard tier
     cfg = PipelineConfig(
         width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
-        use_pallas=True, shading="pbr", enable_normal_maps=False,
+        use_pallas=True, shading="pbr",
+        enable_normal_maps=os.environ.get("RT_NM", "0") == "1",
+        aa="edge" if os.environ.get("RT_AA", "0") == "1" else "none",
         trilinear=False,
         shade_rate="checkerboard" if cb else "full", shade_fix=cb,
     )

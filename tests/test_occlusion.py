@@ -82,3 +82,34 @@ def test_visible_instance_never_culled():
     # center of image shows the small front box (closer depth than wall)
     d = np.asarray(out["vis"].depth)
     assert d[32, 32] < d[4, 4]
+
+
+def test_large_partially_visible_instance_never_culled():
+    """Soundness regression: a screen-filling box whose bbox clamps to the
+    pyramid's top level must not be culled against a corner sample of its
+    own depth (the bug oscillated the city scene's visible set
+    140k -> 2 -> 128k across frames)."""
+    b = SceneBuilder(SceneLimits.tiny())
+    box = b.add_mesh(primitives.box())
+    m = b.add_material()
+    # one big box dominating the view; nothing occludes it
+    b.add_instance(box, m, translation=(0.0, 0.0, 0.0), scale=6.0)
+    b.add_light(position=(2, 3, 4), intensity=20.0)
+    scene = b.build()
+
+    cfg = PipelineConfig(width=128, height=128, tri_capacity=512)
+    r = Renderer(scene, cfg, outputs=("soup",))
+    r.set_config(occlusion_culling=True)
+    r.apply_config_now()
+    cam = Camera.create(
+        position=jnp.array([0.0, 0.5, 6.0]), fov_y=0.9, near=0.1, far=60.0
+    )
+    counts = []
+    for k in range(4):
+        # slight orbit so prev-frame depth is the box's own surface
+        c = Camera.create(
+            position=jnp.array([0.15 * k, 0.5, 6.0]), fov_y=0.9,
+            near=0.1, far=60.0,
+        )
+        counts.append(int(np.asarray(r.render(c)["soup"].count)))
+    assert min(counts[1:]) > 0.8 * counts[0], counts

@@ -173,7 +173,11 @@ def test_checkerboard_edge_fix_is_exact():
     raw = render("checkerboard", False)
     fixed = render("checkerboard", True)
 
-    changed = np.any(fixed != raw, axis=-1)
+    # "changed" = materially rewritten by the fix's scatter. The threshold
+    # filters ulp-scale drift on UNtouched pixels: the fix=True program is a
+    # different XLA compile of the same reconstruction math, and its fusion/
+    # FMA-contraction choices can move non-scattered recon values by 1 ulp.
+    changed = np.abs(fixed - raw).max(axis=-1) > 1e-5
     assert changed.any(), "the edge fix selected no pixels on an edge-heavy scene"
     # fixed pixels match the full-rate path to cross-shape fusion noise
     # (the (8, K/8) batch compiles with different fusion/FMA-contraction

@@ -177,10 +177,14 @@ def main(argv=None):
                 f"--xla_force_host_platform_device_count={args.spmd})"
             )
         spmd_mesh = make_mesh(devices)
+    # heavy scenes need a bigger post-cull budget than the demo default
+    # (the city canyon holds ~127k frustum-visible triangles; a 16k cap
+    # silently truncates to the first buildings in instance order)
+    tri_capacity = 1 << 18 if args.scene == "city" else 16384
     renderer = Renderer(
         scene,
         PipelineConfig(
-            width=args.size, height=args.size, tri_capacity=16384,
+            width=args.size, height=args.size, tri_capacity=tri_capacity,
             use_pallas=args.pallas, skinning=(args.scene == "skinned"),
             ssaa=args.ssaa,
             shade_rate=args.shade_rate,
@@ -206,8 +210,19 @@ def main(argv=None):
         print("wrote " + ", ".join(paths))
 
     def make_camera(angle):
-        r = 4.0
-        pos = jnp.array([r * math.sin(angle), 1.6, r * math.cos(angle)], jnp.float32)
+        if args.scene == "city":
+            # street-level canyon walk (the occlusion design point), not
+            # the small-scene orbit
+            pos = jnp.array([0.0, 2.0, 70.0 - 20.0 * angle], jnp.float32)
+            rot = mathx.quat_from_axis_angle(
+                jnp.array([0.0, 1.0, 0.0]), 0.15 * math.sin(angle)
+            )
+            return Camera.create(
+                position=pos, rotation=rot, fov_y=0.9, near=0.1, far=400.0
+            )
+        r = 14.0 if args.scene == "colonnade" else 4.0
+        h = 3.0 if args.scene == "colonnade" else 1.6
+        pos = jnp.array([r * math.sin(angle), h, r * math.cos(angle)], jnp.float32)
         rot = mathx.quat_mul(
             mathx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), angle),
             mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -0.35),

@@ -212,17 +212,19 @@ def colonnade_spec():
         for k in range(n_cols):
             x = -13.0 + 2.0 * k
             z = side * 4.0
-            # shaft: tall thin box; capital torus; sphere ornament on top
-            instances.append((1, 1, (x, 0.6, z), (1.0, 0.0, 0.0, 0.0), 0.45))
-            instances.append((1, 1, (x, 1.5, z), (1.0, 0.0, 0.0, 0.0), 0.45))
-            instances.append((1, 1, (x, 2.4, z), (1.0, 0.0, 0.0, 0.0), 0.45))
-            instances.append((2, 2, (x, 3.1, z), (1.0, 0.0, 0.0, 0.0), 0.5))
+            # shaft: six stacked drum segments (touching); capital torus;
+            # sphere ornament on top
+            for seg in range(6):
+                instances.append(
+                    (1, 1, (x, -0.775 + 0.45 * seg, z), (1.0, 0.0, 0.0, 0.0), 0.45)
+                )
+            instances.append((2, 2, (x, 1.8, z), (1.0, 0.0, 0.0, 0.0), 0.5))
             if k % 2 == 0:
-                instances.append((3, 3, (x, 3.8, z), (1.0, 0.0, 0.0, 0.0), 0.35))
+                instances.append((3, 3, (x, 2.35, z), (1.0, 0.0, 0.0, 0.0), 0.35))
         # architrave beams along each colonnade
         for k in range(n_cols - 1):
             x = -12.0 + 2.0 * k
-            instances.append((4, 4, (x, 3.6, side * 4.0),
+            instances.append((4, 4, (x, 2.15, side * 4.0),
                               (1.0, 0.0, 0.0, 0.0), 0.9))
     # central ornaments
     for k in range(5):

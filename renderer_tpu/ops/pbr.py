@@ -510,6 +510,11 @@ def _checkerboard_fix(color, score, tri_u, vis, rowpar, y0, run,
     # threshold and the K headroom absorb (bench PSNR measured unchanged:
     # 40.95 dB both ways).
     vals, idx = jax.lax.approx_max_k(score.reshape(p2), k, recall_target=0.95)
+    # sort the suspects by pixel index: the final scatter with ASCENDING
+    # indices runs ~4x faster than with approx_max_k's arbitrary order
+    # (measured standalone at K=65k: 32.6 -> 7.9 ms; the 1-wide
+    # depth/tri gathers below get the locality too)
+    idx, vals = jax.lax.sort((idx, vals), dimension=0, num_keys=1)
     good = vals > FIX_TAU
     par0 = rowpar == 0
     depth_u = jnp.where(par0, vis.depth[:, 1::2], vis.depth[:, 0::2])

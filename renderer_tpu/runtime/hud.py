@@ -98,6 +98,20 @@ def format_hud(
                 "cluster budget: "
                 + ("OK" if ov == 0 else f"{ov} clusters OVER (geometry dropped)")
             )
+    if renderer.config.shadows and renderer.cfg.shadow_cache:
+        cache = renderer.state.get("shadow_cache")
+        if cache is not None:
+            import numpy as np
+
+            _, sig, cursor = cache
+            sig = np.asarray(sig)
+            never = int(np.isnan(sig).sum())
+            lines.append(
+                f"shadow atlas cache: {sig.shape[0]} slots, "
+                f"{never} never-rendered, budget "
+                f"{renderer.cfg.shadow_update_budget or 'all-dirty'}/frame, "
+                f"cursor {int(np.asarray(cursor))}"
+            )
     pass_ms = renderer.stats.get("pass_ms")
     if pass_ms:
         lines.append("pass timings (device, diagnostic — see pass_timings()):")

@@ -106,7 +106,7 @@ def city():
         aa="edge", trilinear=False,
     )
     # street-level walk along a canyon between building rows
-    cams = [make_camera((4.0, 2.0, 70.0 - 1.5 * k), yaw=0.0, pitch=0.0)
+    cams = [make_camera((0.0, 2.0, 70.0 - 1.5 * k), yaw=0.0, pitch=0.0)
             for k in range(FRAMES)]
 
     probe = Renderer(scene, cfg, outputs=("soup",))

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from renderer_tpu.ops.raster_jax import VisibilityBuffer
 from renderer_tpu.ops.raster_spec import DEPTH_CLEAR, FRONT_DET_SIGN, NO_TRIANGLE
 
-TILE_H = 32
+# tuning override for A/B scripts only (scripts/prof_raster*.py)
+TILE_H = int(__import__("os").environ.get("RT_TILE_H", "32"))
 TILE_W = 128
 # Triangles per bin/DMA unit. The kernel is jointly DMA-latency and
 # scalar-loop bound: measured on v5e at the 1080p bench, BLOCK 8/16/32/64/128

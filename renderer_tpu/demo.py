@@ -126,7 +126,8 @@ def main(argv=None):
     )
     ap.add_argument("--ssaa", type=int, default=1, help="supersampling factor (MSAA parity)")
     ap.add_argument(
-        "--shade-rate", default="full", choices=("full", "checkerboard"),
+        "--shade-rate", default="full",
+        choices=("full", "checkerboard", "quarter"),
         help="shade sample rate: checkerboard shades the (x+y)-even "
         "half-lattice exactly and reconstructs the rest from same-triangle "
         "neighbors (quality knob; ~20%% faster frames at the bench)",

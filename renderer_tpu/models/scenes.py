@@ -143,12 +143,13 @@ def city_scene(
     # near ones, which instance-grain occlusion (AABB vs depth pyramid)
     # can never cull — measured: mixed heights gave occlusion only a
     # 1.4 ms win; a uniform canyon is the scene class the feature exists
-    # for (street-level rows fully hide the blocks behind them)
-    heights = (3.0, 3.0, 3.0)
-    variants = [
-        b.add_mesh(primitives.subdivided_box(segments=segments, height=h))
-        for h in heights
-    ]
+    # for (street-level rows fully hide the blocks behind them). One
+    # shared mesh (ADVICE r4: three identical variants tripled mesh-table
+    # usage for no visual variation).
+    height = 3.0
+    building = b.add_mesh(
+        primitives.subdivided_box(segments=segments, height=height)
+    )
     mats = [
         b.add_material(
             base_color=tuple(rng.uniform(0.35, 0.8, 3)) + (1.0,),
@@ -165,12 +166,12 @@ def city_scene(
             x = -half + pitch * (gx + 0.5) + rng.uniform(-0.5, 0.5)
             z = -half + pitch * (gz + 0.5) + rng.uniform(-0.5, 0.5)
             s = rng.uniform(2.6, 3.0)
-            vi = int(rng.integers(0, len(variants)))
+            rng.integers(0, 3)  # keep the stream (stable layout vs r4)
             b.add_instance(
-                variants[vi],
+                building,
                 mats[int(rng.integers(0, len(mats)))],
                 # base on the ground: the mesh spans +-height/2 pre-scale
-                translation=(x, 0.5 * heights[vi] * s, z),
+                translation=(x, 0.5 * height * s, z),
                 scale=float(s),
             )
     b.add_light(position=(0.3, -1.0, 0.15), directional=True, intensity=2.5,

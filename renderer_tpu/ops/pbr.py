@@ -103,6 +103,14 @@ def shade_pbr(
     # dominate this pass — and reconstruct the complement from
     # same-triangle cardinal neighbors (see _checkerboard_expand)
     checkerboard: bool = False,
+    # quarter-rate shade tier: shade only the (even x, even y) lattice
+    # packed to (H/2, W/2) — halving the gathers AGAIN vs checkerboard —
+    # and reconstruct the three complement classes from their shaded
+    # neighbors (H: left/right; V: up/down; D: four diagonals, trimmed
+    # mean). The sparse fix re-shades the worst suspects of ALL classes
+    # (see _quarter_expand/_quarter_fix). The TPU-native expression of
+    # hardware 2x2 variable-rate shading, per-pixel-adaptive via the fix.
+    quarter: bool = False,
     # checkerboard edge fix: exactly re-shade the worst reconstructed pixels
     # (same-triangle neighbor color spread ranks them; capacity P/FIX_K_DIV).
     # On pure-geometry content errors sit on triangle-edge pixels; with
@@ -148,7 +156,24 @@ def shade_pbr(
     )
 
     fh_, fw_ = vis.depth.shape  # full framebuffer dims
-    if checkerboard:
+    assert not (checkerboard and quarter)
+    if quarter:
+        # pack the (even x, even y) shaded lattice to (H/2, W/2): strided
+        # slices only (no gathers); y0 is even under SPMD row sharding, so
+        # local even rows are global even rows
+        assert fw_ % 2 == 0 and fh_ % 2 == 0
+        h_, w_ = fh_ // 2, fw_ // 2
+        depth_in = vis.depth[0::2, 0::2]
+        tri_in = vis.tri_id[0::2, 0::2]
+        px = 2.0 * jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 1) + 0.5
+        py = (
+            2.0 * jax.lax.broadcasted_iota(jnp.float32, (h_, w_), 0)
+            + jnp.asarray(y0, jnp.float32) + 0.5
+        )
+        bary_in = (
+            None if bary_from_records else vis.bary[:, 0::2, 0::2]
+        )
+    elif checkerboard:
         # Pack the shaded half-lattice ((x + y_abs) even) to (H, W/2):
         # x = 2*j + ((y + y0) & 1). Shaded pixels run the EXACT math at
         # their true pixel centers via explicit px/py; y0 keeps the
@@ -455,7 +480,17 @@ def shade_pbr(
     color = _run(depth_in, tri_in, px, py, bary_in)
     if _upto:
         return color  # diagnostic scalar from the DCE prefix
-    if checkerboard:
+    if quarter:
+        bg = jnp.asarray(background, jnp.float32)[:, None, None]
+        cov_s = tri_in != NO_TRIANGLE
+        color, scores = _quarter_expand(
+            color, vis.tri_id, tri_in, cov_s, bg, halo_axis=halo_axis
+        )
+        if shade_fix and rt is None and rt_grid is None:
+            color = _quarter_fix(
+                color, scores, vis, y0, _run, bary_from_records
+            )
+    elif checkerboard:
         bg = jnp.asarray(background, jnp.float32)[:, None, None]
         cov_s = tri_in != NO_TRIANGLE
         recon, score, tri_u = _checkerboard_expand(
@@ -673,3 +708,167 @@ def _cb_interleave(shaded, recon, rowpar):
     return jax.lax.pad(
         even, zero, ((0, 0, 0), (0, 0, 0), (0, 1, 1))
     ) + jax.lax.pad(odd, zero, ((0, 0, 0), (0, 0, 0), (1, 0, 1)))
+
+
+QFIX_K_DIV = 8  # quarter-fix capacity divisor: K = P/8 suspects (3/4 of the
+                # frame is reconstructed, vs 1/2 for checkerboard)
+
+
+def _interleave_last(a, b):
+    """Columns interleave: (..., W/2) a at even, b at odd -> (..., W)."""
+    zero = jnp.float32(0)
+    pads = ((0, 0, 0),) * (a.ndim - 1)
+    return jax.lax.pad(a, zero, pads + ((0, 1, 1),)) + jax.lax.pad(
+        b, zero, pads + ((1, 0, 1),)
+    )
+
+
+def _interleave_rows(a, b):
+    """Row interleave: (..., H/2, W) a at even rows, b at odd -> (..., H, W)."""
+    zero = jnp.float32(0)
+    pads = ((0, 0, 0),) * (a.ndim - 2)
+    return jax.lax.pad(a, zero, pads + ((0, 1, 1), (0, 0, 0))) + jax.lax.pad(
+        b, zero, pads + ((1, 0, 1), (0, 0, 0))
+    )
+
+
+def _quarter_expand(shaded, tri_full, tri_s, cov_s, bg, halo_axis=None):
+    """(3, H/2, W/2) shaded quarter lattice -> ((3, H, W) frame,
+    (3, H/2, W/2) per-class suspect scores).
+
+    Shaded samples sit at (even x, even y). The three complement classes
+    reconstruct from their shaded neighbors, same-triangle masked exactly
+    like the checkerboard tier (_checkerboard_expand):
+    - H (odd x, even y): left/right shaded (lattice j, j+1) — the 2-mean
+      is exact for linear color fields;
+    - V (even x, odd y): up/down shaded (lattice i, i+1);
+    - D (odd x, odd y): the four diagonal shaded samples; trimmed mean
+      when all four share the triangle (symmetric pairs -> exact linear,
+      single-neighbor specular spikes dropped).
+    Fallback covered-neighbor mean, exact background on uncovered pixels.
+    Scores rank same-triangle neighbor color spread per class (den==0
+    covered slivers forced suspect) for _quarter_fix.
+
+    halo_axis: SPMD row sharding — V/D classes read lattice row i+1,
+    which crosses the shard edge on the last row; ONE ppermute
+    (_halo_rows' below row) makes sharded == single-device."""
+    tri_h = tri_full[0::2, 1::2]
+    tri_v = tri_full[1::2, 0::2]
+    tri_d = tri_full[1::2, 1::2]
+
+    below = {
+        name: _halo_rows(arr, halo_axis)[1]
+        for name, arr in (("tri", tri_s), ("cov", cov_s), ("col", shaded))
+    }
+
+    def right(a, key=None):
+        return jnp.concatenate([a[..., :, 1:], a[..., :, -1:]], axis=-1)
+
+    def down(a, key):
+        return jnp.concatenate([a[..., 1:, :], below[key]], axis=-2)
+
+    def down_right(a, key):
+        # the appended halo row must be column-shifted too
+        return jnp.concatenate(
+            [right(a)[..., 1:, :], right(below[key])], axis=-2
+        )
+
+    ident = lambda a, key=None: a
+    classes = (
+        (tri_h, (ident, right)),
+        (tri_v, (ident, down)),
+        (tri_d, (ident, right, down, down_right)),
+    )
+    recons, scores = [], []
+    for tri_u, nbs in classes:
+        cov_u = tri_u != NO_TRIANGLE
+        num = jnp.zeros_like(shaded)
+        den = jnp.zeros(tri_u.shape, jnp.float32)
+        numc = jnp.zeros_like(shaded)
+        denc = jnp.zeros(tri_u.shape, jnp.float32)
+        nb_min = jnp.full_like(shaded, jnp.inf)
+        nb_max = jnp.full_like(shaded, -jnp.inf)
+        for sh in nbs:
+            nb_t = sh(tri_s, "tri")
+            nb_cov = sh(cov_s, "cov")
+            nb_c = sh(shaded, "col")
+            w_same = ((nb_t == tri_u) & nb_cov).astype(jnp.float32)
+            num = num + nb_c * w_same[None]
+            den = den + w_same
+            numc = numc + nb_c * nb_cov.astype(jnp.float32)[None]
+            denc = denc + nb_cov.astype(jnp.float32)
+            same = w_same != 0.0
+            nb_min = jnp.where(same[None], jnp.minimum(nb_min, nb_c), nb_min)
+            nb_max = jnp.where(same[None], jnp.maximum(nb_max, nb_c), nb_max)
+        mean = num / jnp.maximum(den, 1.0)[None]
+        if len(nbs) == 4:  # D class: trimmed mean when all 4 agree
+            trimmed = (num - nb_min - nb_max) * 0.5
+            mean = jnp.where((den == 4.0)[None], trimmed, mean)
+        recon = jnp.where(
+            (den > 0)[None],
+            mean,
+            jnp.where(
+                (denc > 0)[None], numc / jnp.maximum(denc, 1.0)[None], bg
+            ),
+        )
+        recons.append(jnp.where(cov_u[None], recon, bg))
+        spread = jnp.where((den > 0)[None], nb_max - nb_min, 0.0).sum(axis=0)
+        scores.append(
+            jnp.where(
+                cov_u,
+                jnp.where(den == 0.0, jnp.float32(1e9), spread),
+                jnp.float32(-1.0),
+            )
+        )
+    even_rows = _interleave_last(shaded, recons[0])   # (3, H/2, W)
+    odd_rows = _interleave_last(recons[1], recons[2])
+    frame = _interleave_rows(even_rows, odd_rows)     # (3, H, W)
+    return frame, jnp.stack(scores)
+
+
+def _quarter_fix(color, scores, vis, y0, run, bary_from_records):
+    """Exactly re-shade the worst quarter-reconstructed pixels (sparse).
+
+    Same structure as _checkerboard_fix: approx-top-k over the
+    concatenated per-class spread scores picks up to K = max(2048, P/8)
+    suspects across ALL three complement classes at once — the per-pixel
+    budget allocates itself to whichever class errs (the adaptive half of
+    the VRS tier) — re-shades them through the SAME shading closure on an
+    (8, K/8) batch, and scatters into the interleaved frame."""
+    _, h2, w2 = scores.shape
+    p_u = h2 * w2
+    fh_, fw_ = vis.depth.shape
+    p_full = fh_ * fw_
+    k = min(3 * p_u - (3 * p_u) % 8,
+            max(2048, -(-p_full // QFIX_K_DIV) // 8 * 8))
+    vals, idx = jax.lax.approx_max_k(
+        scores.reshape(3 * p_u), k, recall_target=0.95
+    )
+    idx, vals = jax.lax.sort((idx, vals), dimension=0, num_keys=1)
+    good = vals > FIX_TAU
+    cls = idx // p_u
+    rem = idx % p_u
+    ii = rem // w2
+    jj = rem % w2
+    # class -> pixel coords: H (cls 0) = (2j+1, 2i); V = (2j, 2i+1);
+    # D = (2j+1, 2i+1)
+    xx = 2 * jj + (cls != 1).astype(jnp.int32)
+    yy = 2 * ii + (cls != 0).astype(jnp.int32)
+    flat_pix = yy * fw_ + xx
+    d_k = vis.depth.reshape(p_full)[flat_pix]
+    t_k = jnp.where(good, vis.tri_id.reshape(p_full)[flat_pix], NO_TRIANGLE)
+    px_k = xx.astype(jnp.float32) + 0.5
+    py_k = yy.astype(jnp.float32) + jnp.asarray(y0, jnp.float32) + 0.5
+    shape2 = (8, k // 8)
+    bary_k = None
+    if not bary_from_records:
+        bary_k = vis.bary.reshape(3, p_full)[:, flat_pix].reshape((3,) + shape2)
+    color_k = run(
+        d_k.reshape(shape2), t_k.reshape(shape2),
+        px_k.reshape(shape2), py_k.reshape(shape2), bary_k,
+    ).reshape(3, k)
+    flat = jnp.where(good, flat_pix, p_full)  # OOB = drop
+    out = color.reshape(3, p_full).at[:, flat].set(
+        color_k, mode="drop", unique_indices=True
+    )
+    return out.reshape(color.shape)

@@ -218,39 +218,132 @@ def _fold(x: jnp.ndarray, salt: float) -> jnp.ndarray:
     return jnp.sum(x * _weights(n, salt)[:, None] * _weights(k, salt + 1.0)[None, :])
 
 
+SIG_C = 3  # independent signature components per slot (see shadow_signature)
+
+
+def band_matrix(m: jnp.ndarray, band, k: int) -> jnp.ndarray:
+    """Remap NDC y of view-proj `m` so horizontal band `band` (of k equal
+    bands, top to bottom) fills the whole viewport.
+
+    With the raster spec's py = (1 - y_ndc)/2 * H mapping, the row op
+    y' = k*y + (1 - k + 2*band) makes row r' of a (S/k, S) band render
+    coincide exactly with row band*(S/k) + r' of the full (S, S) render
+    (same pixel centers, so depth matches up to triangle-setup rounding).
+    `band` may be traced. Culling against the band matrix also tightens
+    the caster set to the band frustum."""
+    kf = jnp.float32(k)
+    cshift = 1.0 - kf + 2.0 * jnp.asarray(band, jnp.float32)
+    return m.at[1].set(kf * m[1] + cshift * m[3])
+
+
 def shadow_signature(
     scene, light_mats: jnp.ndarray, lights: Lights, model: jnp.ndarray,
-    n_slots: int,
+    n_slots: int, progressive: int = 1,
 ) -> jnp.ndarray:
-    """(n_slots,) f32 change-detection signature per atlas slot.
+    """Per-unit f32 change-detection signatures for the amortized atlas.
 
-    A slot's rendered depth is a pure function of (its light's face
-    matrices, point/directional kind, active flag) x (the caster set:
-    instance model matrices, mesh ids, alive mask, mesh library). The mesh
-    library is immutable per scene, so the signature folds the rest into
-    one scalar per slot; any change -> the slot re-renders. Sub-f32-epsilon
-    motions (relative ~1e-7 of the weighted sums) can round away — motion
-    below that is also invisible at any practical atlas resolution.
-    Inactive slots get a sentinel so active<->inactive transitions dirty
-    the slot exactly once."""
+    progressive=1: (n_slots, SIG_C) — one unit per slot.
+    progressive=K>1: (n_slots, K, SIG_C) — each DIRECTIONAL slot splits
+    into K horizontal-band units with independent signatures, so a moving
+    caster dirties only the bands its AABB actually projects into and a
+    band re-render costs 1/K of a slot (the progressive sub-slot update,
+    VERDICT r4 item 2). Point and inactive slots track on band 0 only
+    (bands 1..K-1 hold a constant sentinel and are never dirty).
+
+    A unit's rendered depth is a pure function of (its light's face
+    matrices, point/directional kind, active flag) x (the casters INSIDE
+    its band/light frustum: model matrices, mesh ids). The mesh library
+    is immutable per scene, so the signature folds the rest; any change
+    -> the unit re-renders. Inactive slots get a sentinel so
+    active<->inactive transitions dirty the slot exactly once.
+
+    Round-5 changes vs the r4 single scalar:
+    - PER-LIGHT (and per-band) caster restriction: each unit's fold masks
+      casters by the same coarse frustum cull the atlas render uses
+      (union of the six faces for point lights; the band matrix for
+      directional bands), so one moving instance dirties only the units
+      whose frustum can see it. Previously the caster term was
+      slot-independent and ANY motion dirtied EVERY slot — the cache
+      degenerated to full per-frame cost exactly when the scene is a game
+      (VERDICT r4). The mask is exact wrt the render: a caster outside
+      the unit frustum cannot write the unit's depth
+      (render_shadow_atlas_per_light culls with the same planes).
+    - SIG_C independent salted components: a single scalar's change
+      threshold scales with the magnitude of the whole-scene fold, so a
+      small caster's motion could round away in a large scene (ADVICE
+      r4). With SIG_C independent folds a change must round away in ALL
+      of them; the count term is salted per instance so swaps of
+      identical transforms still register."""
+    from renderer_tpu import mathx
+    from renderer_tpu.ops.geometry import mats44
+
     inst = scene.instances
-    alive = inst.alive.astype(jnp.float32)
-    alive_b = alive.reshape((alive.shape[0],) + (1,) * (model.ndim - 1))
-    caster = (
-        _fold(model * alive_b, 2.0)
-        + _fold(inst.mesh_id.astype(jnp.float32)[:, None] * alive[:, None], 3.0)
-        + jnp.sum(alive)
-    )
+    model44 = mats44(model)
+    alive = inst.alive
+    mn = scene.meshes.mesh_aabb_min[inst.mesh_id]
+    mx = scene.meshes.mesh_aabb_max[inst.mesh_id]
+    wmin, wmax = mathx.transform_aabb(model44, mn, mx)
+    center = (wmin + wmax) * 0.5
+    extent = (wmax - wmin) * 0.5
+    flat = model.reshape(model.shape[0], -1).astype(jnp.float32)
+    mid = inst.mesh_id.astype(jnp.float32)
+
+    def vis_under(m):
+        planes = mathx.frustum_planes(m)
+        return alive & ~mathx.aabb_outside_frustum(planes, center, extent)
+
+    salts = (2.0, 23.0, 61.0)
+    assert len(salts) == SIG_C
+
+    def unit_sig(li, active, directional, vis):
+        """SIG_C-component fold of (light term) x (masked casters)."""
+        visf = vis.astype(jnp.float32)
+        comps = []
+        for salt in salts:
+            caster = (
+                _fold(flat * visf[:, None], salt)
+                + _fold(mid[:, None] * visf[:, None], salt + 11.0)
+                + jnp.sum(visf * _weights(visf.shape[0], salt + 29.0))
+            )
+            slot_term = (
+                _fold(light_mats[li].reshape(6, 16), salt + 3.0)
+                + jnp.where(directional, 17.0, 39.0)
+            )
+            comps.append(
+                jnp.where(active, slot_term + caster, jnp.float32(-1e30))
+            )
+        return jnp.stack(comps)  # (SIG_C,)
+
+    def slot_vis(li, directional):
+        """Whole-light caster mask (union of the 6 faces for point)."""
+        vis6 = [vis_under(light_mats[li, f]) for f in range(6)]
+        vis_pt = vis6[0]
+        for v in vis6[1:]:
+            vis_pt = vis_pt | v
+        return jnp.where(directional, vis6[0], vis_pt)
 
     def per_slot(slot):
         match = (lights.shadow_slot == slot) & lights.alive
         li = jnp.argmax(match)
         active = jnp.any(match)
-        slot_term = (
-            _fold(light_mats[li].reshape(6, 16), 5.0)
-            + jnp.where(lights.directional[li], 17.0, 39.0)
-        )
-        return jnp.where(active, slot_term + caster, jnp.float32(-1e30))
+        directional = lights.directional[li]
+        if progressive <= 1:
+            return unit_sig(li, active, directional, slot_vis(li, directional))
+        # per-band units: directional bands get band-frustum-masked folds;
+        # point/inactive slots track on band 0 (whole-light mask) and hold
+        # a never-dirty sentinel on bands 1..K-1
+        whole = slot_vis(li, directional)
+        bands = []
+        for b in range(progressive):
+            m_band = band_matrix(light_mats[li, 0], b, progressive)
+            vis_b = jnp.where(directional, vis_under(m_band), whole)
+            s = unit_sig(li, active, directional, vis_b)
+            if b > 0:
+                s = jnp.where(
+                    active & directional, s, jnp.float32(-2e30)
+                )
+            bands.append(s)
+        return jnp.stack(bands)  # (K, SIG_C)
 
     return jax.vmap(per_slot)(jnp.arange(n_slots, dtype=jnp.int32))
 
@@ -266,9 +359,13 @@ def select_shadow_updates(
     `budget` dirty slots render, picked in round-robin order starting at
     `cursor`, and the cursor advances past the last serviced slot so
     starved slots win next frame. Un-serviced dirty slots keep their OLD
-    signature and stay dirty."""
+    signature and stay dirty. sig may be (n,) scalar or (n, SIG_C)
+    multi-component (dirty = ANY component changed)."""
     n = sig.shape[0]
-    dirty = ~(sig == sig_prev)  # NaN prev compares unequal -> dirty
+    if sig.ndim == 2:
+        dirty = ~jnp.all(sig == sig_prev, axis=-1)
+    else:
+        dirty = ~(sig == sig_prev)  # NaN prev compares unequal -> dirty
     if budget <= 0 or budget >= n:
         sel = dirty
         new_cursor = jnp.asarray(cursor, jnp.int32)
@@ -282,7 +379,8 @@ def select_shadow_updates(
         new_cursor = jnp.where(
             jnp.any(sel), jnp.mod(cursor + last_order + 1, n), cursor
         ).astype(jnp.int32)
-    new_sig = jnp.where(sel, sig, sig_prev)
+    selx = sel[:, None] if sig.ndim == 2 else sel
+    new_sig = jnp.where(selx, sig, sig_prev)
     return sel, new_sig, new_cursor
 
 
@@ -295,8 +393,9 @@ def render_shadow_atlas_cached(
     n_slots: int,
     slot_size: int,
     caster_capacity: int,
-    prev,                     # (atlas (n,S,S), sig (n,), cursor ()) persistent
+    prev,                     # persistent cache state (see docstring)
     budget: int = 0,
+    progressive: int = 1,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     scene_min=None,
@@ -311,17 +410,61 @@ def render_shadow_atlas_cached(
     signature (shadow_signature) detects light/caster changes, and at most
     `budget` dirty slots re-render per frame (select_shadow_updates,
     round-robin). Static scenes converge to ZERO raster work; a moved light
-    re-renders within ceil(dirty/budget) frames. Returns
-    (atlas, (atlas, new_sig, new_cursor))."""
+    re-renders within ceil(dirty/budget) frames.
+
+    State is (atlas, sig, cursor) either way.
+
+    progressive=1 (default): sig is (n_slots, SIG_C); a selected slot
+    re-renders WHOLE.
+
+    progressive=K>1 (requires budget=1): sig is (n_slots, K, SIG_C) — each
+    directional slot is K independently dirty-tracked horizontal-band
+    UNITS (shadow_signature), scheduled by the same round-robin over the
+    flattened unit list. A dirty 4096^2 slot never spikes one frame by a
+    full re-render (~199 ms at 4096^2, PERF.md r3 session 3): each frame
+    renders at most one band (~1/K of a slot), and a caster moving inside
+    the light's view dirties ONLY the bands its AABB projects into. A
+    moved light refreshes its K bands over K frames (standard time-sliced
+    shadow lag: adjacent bands up to K frames apart while moving). Point
+    and inactive slots are a single unit on band 0 (rendered whole).
+
+    Returns (atlas, (atlas, new_sig, new_cursor))."""
     atlas_prev, sig_prev, cursor = prev
-    sig = shadow_signature(scene, light_mats, lights, model, n_slots)
-    sel, new_sig, new_cursor = select_shadow_updates(sig, sig_prev, cursor, budget)
+    sig = shadow_signature(
+        scene, light_mats, lights, model, n_slots, progressive=progressive
+    )
+    if progressive <= 1:
+        sel, new_sig, new_cursor = select_shadow_updates(
+            sig, sig_prev, cursor, budget
+        )
+        atlas = render_shadow_atlas_per_light(
+            scene, light_mats, lights, model, lod, n_slots, slot_size,
+            caster_capacity, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
+            selected=sel, atlas_prev=atlas_prev,
+            scene_min=scene_min, scene_max=scene_max,
+        )
+        return atlas, (atlas, new_sig, new_cursor)
+
+    assert budget == 1, "progressive sub-slot updates require budget=1"
+    assert slot_size % progressive == 0
+    k = progressive
+    # round-robin over the flattened (slot, band) unit list: at most ONE
+    # unit renders per frame, so the per-slot render path can use a traced
+    # band index (argmax of its selected row)
+    sel_flat, new_sig_flat, new_cursor = select_shadow_updates(
+        sig.reshape(n_slots * k, -1), sig_prev.reshape(n_slots * k, -1),
+        cursor, 1,
+    )
+    sel = sel_flat.reshape(n_slots, k)
+    new_sig = new_sig_flat.reshape(n_slots, k, -1)
     atlas = render_shadow_atlas_per_light(
         scene, light_mats, lights, model, lod, n_slots, slot_size,
         caster_capacity, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
         selected=sel, atlas_prev=atlas_prev,
         scene_min=scene_min, scene_max=scene_max,
+        progressive=progressive,
     )
     return atlas, (atlas, new_sig, new_cursor)
 
@@ -341,6 +484,9 @@ def render_shadow_atlas_per_light(
     atlas_prev: jnp.ndarray = None,  # keep prev slot depth for the rest
     scene_min=None,
     scene_max=None,
+    # progressive band units: selected is (n_slots, K) with at most one
+    # band set per slot; directional slots render just that 1/K-height band
+    progressive: int = 1,
 ) -> jnp.ndarray:
     """Depth atlas with PER-LIGHT caster culling + expansion.
 
@@ -366,6 +512,8 @@ def render_shadow_atlas_per_light(
     camera's `lod` pick is used (legacy behavior)."""
     from renderer_tpu.ops.geometry import coarse_cull, expand_clip_only, mats44
 
+    if progressive > 1:
+        assert selected is not None and atlas_prev is not None
     model = mats44(model)
     fw, fh = slot_size // 2, slot_size // 4  # cube face viewport
     if scene_min is not None:
@@ -395,7 +543,7 @@ def render_shadow_atlas_per_light(
         )
         return _raster(clip, valid, count, w, h)
 
-    def per_slot(slot):
+    def per_slot(slot, band=None):
         match = (lights.shadow_slot == slot) & lights.alive
         li = jnp.argmax(match)
         active = jnp.any(match)
@@ -416,9 +564,21 @@ def render_shadow_atlas_per_light(
                 # legacy: ortho texel footprint is uniform, camera coverage
                 # pick is a usable detail proxy (but camera-DEPENDENT)
                 lod_pick = lod
-            return _render_view(
-                light_mats[li, 0], active, slot_size, slot_size, lod_pick
-            )
+            m = light_mats[li, 0]
+            if progressive > 1:
+                # progressive band unit: render rows [band*bh, (band+1)*bh)
+                # of the slot at native density (band_matrix remaps NDC y so
+                # the band fills a (bh, S) viewport with identical pixel
+                # centers). Culling against the band matrix also tightens
+                # the caster set to the band frustum.
+                bh = slot_size // progressive
+                m_band = band_matrix(m, band, progressive)
+                band_depth = _render_view(m_band, active, slot_size, bh, lod_pick)
+                return jax.lax.dynamic_update_slice(
+                    atlas_prev[slot], band_depth,
+                    (band * bh, jnp.int32(0)),
+                )
+            return _render_view(m, active, slot_size, slot_size, lod_pick)
 
         def point(_):
             # perspective: pick LOD by distance to THIS light (ref
@@ -452,12 +612,25 @@ def render_shadow_atlas_per_light(
     if selected is None:
         return jax.lax.map(per_slot, jnp.arange(n_slots, dtype=jnp.int32))
 
-    def per_slot_cached(slot):
-        # cond, not where: an unselected slot must SKIP its whole
-        # cull+expand+raster chain (the point of the cache)
-        return jax.lax.cond(
-            selected[slot], per_slot, lambda s: atlas_prev[s], slot
-        )
+    if progressive > 1:
+        def per_slot_cached(slot):
+            # selected[slot] is the (K,) band row with at most one bit set
+            # (the cached path's unit round-robin runs budget=1); the band
+            # index can therefore be a traced argmax, keeping ONE band
+            # render in the program instead of K conds per slot
+            any_b = jnp.any(selected[slot])
+            band = jnp.argmax(selected[slot]).astype(jnp.int32)
+            return jax.lax.cond(
+                any_b, lambda s: per_slot(s, band), lambda s: atlas_prev[s],
+                slot,
+            )
+    else:
+        def per_slot_cached(slot):
+            # cond, not where: an unselected slot must SKIP its whole
+            # cull+expand+raster chain (the point of the cache)
+            return jax.lax.cond(
+                selected[slot], per_slot, lambda s: atlas_prev[s], slot
+            )
 
     return jax.lax.map(per_slot_cached, jnp.arange(n_slots, dtype=jnp.int32))
 

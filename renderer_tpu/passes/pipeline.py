@@ -61,6 +61,12 @@ class PipelineConfig:
     # 0 = all dirty slots immediately). Budget >=1 makes even the 16x4096^2
     # reference envelope interactive amortized (one slot ~= 62 ms at 2048^2).
     shadow_update_budget: int = 0
+    # progressive sub-slot updates (requires shadow_cache and budget=1): a
+    # dirty DIRECTIONAL slot refreshes as K horizontal bands, one per
+    # frame, so a 4096^2 re-render never spikes one frame by ~199 ms
+    # (ops/shadow.py render_shadow_atlas_cached). Point slots still render
+    # whole. 1 = off.
+    shadow_progressive: int = 1
     # cluster-grain (meshlet-style) frustum/backface culling before
     # expansion. Wins on full-LOD/high-poly content where 32-triangle
     # normal cones are tight; the LOD-heavy instancing bench measures ~5 ms
@@ -85,7 +91,9 @@ class PipelineConfig:
     # pixel; "checkerboard" shades the (x+y)-even half-lattice exactly and
     # reconstructs the rest from same-triangle neighbors (ops/pbr.py
     # _checkerboard_expand) — halves the two index-rate-bound 2M-row
-    # gathers that dominate the shade pass. PBR path only.
+    # gathers that dominate the shade pass; "quarter" shades only the
+    # (even x, even y) lattice (ops/pbr.py _quarter_expand) — halves them
+    # AGAIN (the 2x2 VRS analogue; pair with shade_fix). PBR path only.
     shade_rate: str = "full"
     # checkerboard edge fix: exactly re-shade the top P/16 reconstructed
     # pixels (ranked by same-triangle neighbor color spread) through the
@@ -111,18 +119,25 @@ class PipelineConfig:
 
     def __post_init__(self):
         assert self.tri_capacity % 128 == 0, "tri_capacity must be 128-aligned"
-        assert self.shade_rate in ("full", "checkerboard")
+        assert self.shade_rate in ("full", "checkerboard", "quarter")
         assert self.aa in ("none", "edge")
         if self.aa == "edge":
             assert self.shading == "pbr", "edge AA is PBR-only"
         if self.shade_rate != "full":
             assert self.shading == "pbr", "shade_rate tiers are PBR-only"
             assert self.width * self.ssaa % 2 == 0
+        if self.shade_rate == "quarter":
+            assert self.height * self.ssaa % 2 == 0
         if self.use_pallas:
             assert self.width % 128 == 0 and self.height % 32 == 0, (
                 "pallas raster needs width%128==0, height%32==0"
             )
             assert self.tri_capacity % 256 == 0
+        if self.shadow_progressive > 1:
+            assert self.shadow_cache and self.shadow_update_budget == 1, (
+                "shadow_progressive needs shadow_cache + budget=1"
+            )
+            assert self.shadow_size % self.shadow_progressive == 0
         if self.spmd_devices > 1:
             n = self.spmd_devices
             assert self.height * self.ssaa % (n * (32 if self.use_pallas else 1)) == 0, (
@@ -235,18 +250,25 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
     )
     g.resource("shadow", desc="(atlas depth (n_slots,S,S), light mats (L,4,4))")
     if cfg.shadow_cache:
+        from renderer_tpu.ops.shadow import SIG_C
+
+        sig_shape = (
+            (cfg.shadow_slots, SIG_C) if cfg.shadow_progressive <= 1
+            else (cfg.shadow_slots, cfg.shadow_progressive, SIG_C)
+        )
         g.resource(
             "shadow_cache",
             persistent=True,
             init=lambda: (
                 jnp.ones((cfg.shadow_slots, cfg.shadow_size, cfg.shadow_size),
                          jnp.float32),
-                jnp.full((cfg.shadow_slots,), jnp.nan, jnp.float32),
+                jnp.full(sig_shape, jnp.nan, jnp.float32),
                 jnp.zeros((), jnp.int32),
             ),
-            desc="amortized shadow atlas state: (atlas, per-slot signature, "
-            "round-robin cursor); NaN signatures = everything dirty on "
-            "frame 1",
+            desc="amortized shadow atlas state: (atlas, per-unit signature "
+            "— per slot, or per (slot, band) when shadow_progressive>1 — "
+            "and the round-robin cursor); NaN signatures = everything "
+            "dirty on frame 1",
         )
     g.resource("image", desc="linear RGB framebuffer (output resolution)")
     g.resource("image_pre", desc="framebuffer before the overlay/present pass")
@@ -477,6 +499,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 cfg.shadow_tri_capacity or cfg.tri_capacity,
                 prev=shadow_cache_prev,
                 budget=cfg.shadow_update_budget,
+                progressive=cfg.shadow_progressive,
                 use_pallas=cfg.use_pallas and cfg.shadow_size % 128 == 0,
                 pallas_interpret=cfg.pallas_interpret,
                 scene_min=scene_min, scene_max=scene_max,
@@ -528,9 +551,13 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 y0=y0, full_height=fh,
                 light_slots=cfg.shade_light_slots,
                 checkerboard=(cfg.shade_rate == "checkerboard"),
+                quarter=(cfg.shade_rate == "quarter"),
                 shade_fix=cfg.shade_fix,
                 aa=(cfg.aa == "edge"),
-                static_casts=cfg.static_light_casts,
+                # () opts OUT of the static specialization (keeps the
+                # dynamic per-light casts/is_point lax.conds — for scenes
+                # whose cast pattern changes at render() time)
+                static_casts=cfg.static_light_casts or None,
                 halo_axis=axis if SP else None,
             )
         img = shading.shade_lambert(

@@ -172,6 +172,8 @@ class Renderer:
         time_s drives animation clips (the pose pass); overlay is the 2D
         instance table composited when the hud switch is on."""
         if scene is not None:
+            if scene.lights is not self.scene.lights:
+                self._check_light_contract(scene)
             self.scene = scene
         if overlay is None:
             from renderer_tpu.ops.overlay import Overlay
@@ -206,6 +208,50 @@ class Renderer:
         if self.config != self._pending_config:
             self.config = dataclasses.replace(self._pending_config)
         return outputs
+
+    def _check_light_contract(self, scene) -> None:
+        """Validate a scene override against the compiled-in light
+        specializations (ADVICE r4, medium): shade_light_slots and
+        static_light_casts bake the construction scene's live-light count
+        and (shadow_slot, directional, alive) pattern into the compiled
+        shade — a scene whose pattern differs would silently shade wrong
+        (the dynamic lax.cond path is compiled out). Checked only when the
+        lights pytree IDENTITY changes (render() caches the last validated
+        object): the common per-frame paths — no override, or gameplay
+        churn that keeps the same lights arrays — pay nothing, and the
+        small device->host fetch (a few dozen scalars) happens once per
+        distinct lights table, not per frame."""
+        import numpy as np
+
+        lid = id(scene.lights)
+        if lid == getattr(self, "_validated_lights_id", None):
+            return
+        cfg = self.cfg
+        k = cfg.shade_light_slots
+        count = int(np.asarray(scene.lights.count))
+        if count > k:
+            raise ValueError(
+                f"scene has {count} live lights but the Renderer was "
+                f"compiled for {k} (shade_light_slots); construct a new "
+                "Renderer or pass shade_light_slots explicitly"
+            )
+        if cfg.static_light_casts:  # () = dynamic-cond opt-out, no contract
+            slots = np.asarray(scene.lights.shadow_slot)[:k]
+            dirs = np.asarray(scene.lights.directional)[:k]
+            alive = np.asarray(scene.lights.alive)[:k]
+            pattern = tuple(
+                (int(s) if a else -1, bool(d))
+                for s, d, a in zip(slots, dirs, alive)
+            )
+            if pattern != cfg.static_light_casts:
+                raise ValueError(
+                    "scene override changes the light cast pattern "
+                    f"{cfg.static_light_casts} -> {pattern}; the shade was "
+                    "compiled with static_light_casts (construct a new "
+                    "Renderer, or pass static_light_casts=() to keep the "
+                    "dynamic per-light conds)"
+                )
+        self._validated_lights_id = lid
 
     def block(self, outputs) -> None:
         jax.block_until_ready(outputs)

@@ -103,15 +103,23 @@ def format_hud(
         if cache is not None:
             import numpy as np
 
-            _, sig, cursor = cache
+            sig, cursor = cache[1], cache[2]
             sig = np.asarray(sig)
-            never = int(np.isnan(sig).sum())
-            lines.append(
+            never = int(np.isnan(sig).any(axis=-1).sum()) if sig.ndim == 2 \
+                else int(np.isnan(sig).sum())
+            line = (
                 f"shadow atlas cache: {sig.shape[0]} slots, "
                 f"{never} never-rendered, budget "
                 f"{renderer.cfg.shadow_update_budget or 'all-dirty'}/frame, "
                 f"cursor {int(np.asarray(cursor))}"
             )
+            if len(cache) > 3:  # progressive sub-slot state
+                line += (
+                    f", band {int(np.asarray(cache[3]))}"
+                    f"/{renderer.cfg.shadow_progressive}"
+                    f" (slot {int(np.asarray(cache[4]))})"
+                )
+            lines.append(line)
     pass_ms = renderer.stats.get("pass_ms")
     if pass_ms:
         lines.append("pass timings (device, diagnostic — see pass_timings()):")

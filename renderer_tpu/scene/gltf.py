@@ -96,6 +96,8 @@ def _read_accessor(doc, buffers, idx) -> np.ndarray:
     itemsize = np.dtype(dtype).itemsize * ncomp
 
     if "bufferView" not in acc:
+        # spec: accessor without bufferView reads as zeros (the sparse
+        # substitution below then fills in the stored elements)
         out = np.zeros((n, ncomp), dtype)
     else:
         bv = doc["bufferViews"][acc["bufferView"]]
@@ -107,14 +109,45 @@ def _read_accessor(doc, buffers, idx) -> np.ndarray:
                 buf, dtype=dtype, count=n * ncomp, offset=start
             ).reshape(n, ncomp)
         else:
+            # interleaved bufferView (foreign exporters pack several
+            # attributes per vertex row): vectorized strided view, not a
+            # per-row Python loop (100k-vertex meshes matter)
             raw = np.frombuffer(buf, np.uint8)
-            rows = [
-                np.frombuffer(raw, dtype, ncomp, start + i * stride) for i in range(n)
-            ]
-            out = np.stack(rows)
+            end = start + (n - 1) * stride + itemsize
+            if end > len(raw):
+                raise ValueError(
+                    f"accessor {idx}: interleaved view overruns buffer "
+                    f"({end} > {len(raw)})"
+                )
+            win = np.lib.stride_tricks.sliding_window_view(raw, itemsize)
+            rows = win[start : start + (n - 1) * stride + 1 : stride]
+            out = np.ascontiguousarray(rows).view(dtype).reshape(n, ncomp)
+    if "sparse" in acc:
+        # sparse accessor: base (often zeros) + stored (index, value) pairs
+        sp = acc["sparse"]
+        cnt = sp["count"]
+        sidx = _read_view_scalar(
+            doc, buffers, sp["indices"], cnt,
+            _COMPONENT_DTYPES[sp["indices"]["componentType"]],
+        )
+        sval_dt = dtype
+        sval = _read_view_scalar(
+            doc, buffers, sp["values"], cnt * ncomp, sval_dt
+        ).reshape(cnt, ncomp)
+        out = out.copy()
+        out[sidx.astype(np.int64)] = sval
     if acc.get("normalized") and dtype != np.float32:
         out = out.astype(np.float32) / np.iinfo(dtype).max
     return out.copy()
+
+
+def _read_view_scalar(doc, buffers, ref, count, dtype) -> np.ndarray:
+    """Tightly-packed read of `count` scalars from a sparse-block view ref
+    ({bufferView, byteOffset?})."""
+    bv = doc["bufferViews"][ref["bufferView"]]
+    buf = buffers[bv["buffer"]]
+    start = bv.get("byteOffset", 0) + ref.get("byteOffset", 0)
+    return np.frombuffer(buf, dtype=dtype, count=count, offset=start)
 
 
 def _node_matrix(node) -> np.ndarray:

@@ -106,7 +106,9 @@ def main():
     float(np.asarray(out["image"][0, 0, 0]))
     ms = (time.perf_counter() - t0) * 1e3
     sig_after = np.asarray(r.state["shadow_cache"][1])
-    changed = np.nonzero(sig_before != sig_after)[0]
+    changed = np.nonzero(
+        (sig_before != sig_after).reshape(sig_before.shape[0], -1).any(axis=-1)
+    )[0]
     print(f"moved light 7: next frame {ms:.1f} ms; refreshed slots {changed}",
           flush=True)
 

@@ -413,3 +413,209 @@ def test_gltf_step_interpolation_exact(tmp_path):
     for t, expect in ((0.3, [0, 0, 0]), (0.69, [0, 0, 0]), (0.71, [3, 0, 0]), (0.9, [3, 0, 0])):
         pal = np.asarray(sample_clips(scene.skins, t))[0, 0]
         np.testing.assert_allclose(pal[:3, 3], expect, atol=1e-6)
+
+
+# -- round 5: foreign-file conventions (VERDICT r4 item 9) -------------------
+# The parser had only ever read its own writer's output; these fixtures
+# hand-construct files the way OTHER exporters lay them out (ref: the
+# reference consumes arbitrary Khronos sample models, gltf_mesh_io.rs).
+
+def _foreign_doc(blob, accessors, buffer_views, mesh_prims):
+    import base64
+
+    return {
+        "asset": {"version": "2.0"},
+        "buffers": [
+            {
+                "byteLength": len(blob),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(blob).decode(),
+            }
+        ],
+        "bufferViews": buffer_views,
+        "accessors": accessors,
+        "meshes": [{"primitives": mesh_prims}],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+
+
+def test_interleaved_accessors_with_byte_stride(tmp_path):
+    """POSITION+NORMAL interleaved in ONE bufferView (stride 24) — the
+    layout most exporters emit for static meshes."""
+    import json
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    nrm = box.normals.astype(np.float32)
+    inter = np.concatenate([pos, nrm], axis=1)  # (V, 6) rows of 24 B
+    idx = box.indices.astype(np.uint32).reshape(-1, 1)
+    blob = inter.tobytes() + idx.tobytes()
+    doc = _foreign_doc(
+        blob,
+        accessors=[
+            {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+             "count": len(pos), "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5126,
+             "count": len(pos), "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": len(idx),
+             "type": "SCALAR"},
+        ],
+        buffer_views=[
+            {"buffer": 0, "byteOffset": 0, "byteLength": inter.nbytes,
+             "byteStride": 24},
+            {"buffer": 0, "byteOffset": inter.nbytes, "byteLength": idx.nbytes},
+        ],
+        mesh_prims=[{"attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2}],
+    )
+    path = tmp_path / "interleaved.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+    hm = b._meshes[0]
+    np.testing.assert_array_equal(hm.positions, pos)
+    np.testing.assert_array_equal(hm.normals, nrm)
+    np.testing.assert_array_equal(hm.indices.reshape(-1), idx.reshape(-1))
+
+
+def test_u8_and_u16_indices(tmp_path):
+    """Foreign files index small meshes with u8/u16 (5121/5123)."""
+    import json
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    for comp_type, dt in ((5121, np.uint8), (5123, np.uint16)):
+        idx = box.indices.astype(dt).reshape(-1, 1)
+        blob = pos.tobytes() + idx.tobytes()
+        doc = _foreign_doc(
+            blob,
+            accessors=[
+                {"bufferView": 0, "componentType": 5126, "count": len(pos),
+                 "type": "VEC3",
+                 "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+                {"bufferView": 1, "componentType": comp_type,
+                 "count": idx.size, "type": "SCALAR"},
+            ],
+            buffer_views=[
+                {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+                {"buffer": 0, "byteOffset": pos.nbytes,
+                 "byteLength": idx.nbytes},
+            ],
+            mesh_prims=[{"attributes": {"POSITION": 0}, "indices": 1}],
+        )
+        path = tmp_path / f"idx{comp_type}.gltf"
+        path.write_text(json.dumps(doc))
+        b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+        np.testing.assert_array_equal(
+            b._meshes[0].indices, box.indices.astype(np.int32)
+        )
+
+
+def test_sparse_accessor_substitution(tmp_path):
+    """Sparse POSITION accessor: zero base + stored (index, value) pairs
+    (the morph-target/displacement layout of the Khronos samples)."""
+    import json
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    idx = box.indices.astype(np.uint32).reshape(-1, 1)
+    # sparse: displace vertices 2 and 5
+    sp_idx = np.asarray([2, 5], np.uint16)
+    sp_val = np.asarray([[9.0, 9.0, 9.0], [-9.0, 0.0, 1.0]], np.float32)
+    blob = pos.tobytes() + idx.tobytes() + sp_idx.tobytes() + sp_val.tobytes()
+    o_idx = pos.nbytes
+    o_sidx = o_idx + idx.nbytes
+    o_sval = o_sidx + sp_idx.nbytes
+    doc = _foreign_doc(
+        blob,
+        accessors=[
+            {"bufferView": 0, "componentType": 5126, "count": len(pos),
+             "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist(),
+             "sparse": {
+                 "count": 2,
+                 "indices": {"bufferView": 2, "componentType": 5123},
+                 "values": {"bufferView": 3},
+             }},
+            {"bufferView": 1, "componentType": 5125, "count": len(idx),
+             "type": "SCALAR"},
+        ],
+        buffer_views=[
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": o_idx, "byteLength": idx.nbytes},
+            {"buffer": 0, "byteOffset": o_sidx, "byteLength": sp_idx.nbytes},
+            {"buffer": 0, "byteOffset": o_sval, "byteLength": sp_val.nbytes},
+        ],
+        mesh_prims=[{"attributes": {"POSITION": 0}, "indices": 1}],
+    )
+    path = tmp_path / "sparse.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+    want = pos.copy()
+    want[[2, 5]] = sp_val
+    np.testing.assert_array_equal(b._meshes[0].positions, want)
+
+
+def test_normalized_u16_uvs(tmp_path):
+    """TEXCOORD_0 as normalized u16 (a common exporter compression)."""
+    import json
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    uv_f = np.clip(box.uvs.astype(np.float32), 0, 1)
+    uv_u16 = np.round(uv_f * 65535.0).astype(np.uint16)
+    idx = box.indices.astype(np.uint32).reshape(-1, 1)
+    blob = pos.tobytes() + uv_u16.tobytes() + idx.tobytes()
+    doc = _foreign_doc(
+        blob,
+        accessors=[
+            {"bufferView": 0, "componentType": 5126, "count": len(pos),
+             "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5123, "count": len(pos),
+             "type": "VEC2", "normalized": True},
+            {"bufferView": 2, "componentType": 5125, "count": len(idx),
+             "type": "SCALAR"},
+        ],
+        buffer_views=[
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes, "byteLength": uv_u16.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes + uv_u16.nbytes,
+             "byteLength": idx.nbytes},
+        ],
+        mesh_prims=[{"attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+                     "indices": 2}],
+    )
+    path = tmp_path / "u16uv.gltf"
+    path.write_text(json.dumps(doc))
+    b = load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))
+    np.testing.assert_allclose(b._meshes[0].uvs, uv_f, atol=1.0 / 65535.0)
+
+
+def test_interleaved_overrun_raises(tmp_path):
+    """A corrupt stride that runs past the buffer must raise, not wrap."""
+    import json
+
+    import pytest
+
+    box = primitives.box()
+    pos = box.positions.astype(np.float32)
+    blob = pos.tobytes()
+    doc = _foreign_doc(
+        blob,
+        accessors=[
+            {"bufferView": 0, "componentType": 5126, "count": len(pos),
+             "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+        ],
+        buffer_views=[
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes,
+             "byteStride": 64},  # 24 verts * 64 B >> buffer
+        ],
+        mesh_prims=[{"attributes": {"POSITION": 0}}],
+    )
+    path = tmp_path / "overrun.gltf"
+    path.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="overruns"):
+        load_gltf(str(path), SceneBuilder(SceneLimits.tiny()))

@@ -166,3 +166,28 @@ def test_spmd_checkerboard_shade_tier():
     out1 = render(False)
     out8 = render(True)
     np.testing.assert_allclose(out1, out8, atol=2e-6)
+
+
+def test_spmd_quarter_shade_tier():
+    """shade_rate="quarter" under SPMD: the V/D reconstruction classes read
+    lattice row i+1, which crosses the shard edge on each shard's last row
+    — exchanged via _halo_rows' below-row ppermute (including the
+    column-shifted halo of the diagonal class). Sharded == single-device."""
+    scene = small_scene()
+    mesh = make_mesh()
+
+    def render(spmd):
+        cfg = PipelineConfig(
+            width=WIDTH, height=HEIGHT, tri_capacity=8192,
+            use_pallas=True, pallas_interpret=True, shading="pbr",
+            shade_rate="quarter",
+            spmd_devices=8 if spmd else 1,
+        )
+        r = Renderer(
+            scene, cfg, outputs=("image",), spmd_mesh=mesh if spmd else None
+        )
+        return np.asarray(r.render(camera())["image"])
+
+    out1 = render(False)
+    out8 = render(True)
+    np.testing.assert_allclose(out1, out8, atol=2e-6)

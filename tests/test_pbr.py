@@ -193,3 +193,60 @@ def test_checkerboard_edge_fix_is_exact():
         return 10 * np.log10(1.0 / max(float(mse), 1e-12))
 
     assert psnr(fixed, full) >= psnr(raw, full) - 1e-6
+
+
+def test_quarter_shade_tier():
+    """shade_rate="quarter" (the 2x2 VRS analogue): shaded lattice
+    (even x, even y) bit-matches the full-rate image; the three
+    reconstructed complement classes track it (PSNR floor on an
+    edge-heavy worst-case scene)."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.mathx.camera import Camera
+    from renderer_tpu.models import textured_scene
+    from renderer_tpu.passes.pipeline import PipelineConfig
+    from renderer_tpu.runtime import Renderer
+    from renderer_tpu.scene import SceneLimits
+
+    scene = textured_scene(SceneLimits.tiny(), atlas_size=32)
+    cam = Camera.create(
+        position=jnp.array([0.0, 1.2, 4.0]), fov_y=0.9, near=0.1, far=60.0
+    )
+
+    def render(rate, fix=False):
+        cfg = PipelineConfig(
+            width=128, height=64, tri_capacity=4096,
+            use_pallas=True, pallas_interpret=True, shading="pbr",
+            shade_rate=rate, shade_fix=fix,
+        )
+        r = Renderer(scene, cfg, outputs=("image",))
+        return np.asarray(r.render(cam)["image"])
+
+    full = render("full")
+    q = render("quarter")
+    assert np.isfinite(q).all()
+
+    yy, xx = np.mgrid[0:64, 0:128]
+    shaded = (xx % 2 == 0) & (yy % 2 == 0)
+    np.testing.assert_allclose(q[shaded], full[shaded], atol=1e-6)
+
+    # quarter rate reconstructs 3/4 of an edge-dominated tiny frame: the
+    # floor is lower than checkerboard's (PERF.md r5 measures the 1080p
+    # bench far higher); this guards against wiring bugs, not quality
+    mse = np.mean((q - full) ** 2)
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 24.0, psnr
+
+    # the sparse fix must only move the frame toward full rate, and only
+    # on complement pixels
+    fixed = render("quarter", True)
+    changed = np.abs(fixed - q).max(axis=-1) > 1e-5
+    assert changed.any(), "the quarter fix selected no pixels"
+    np.testing.assert_allclose(fixed[changed], full[changed], atol=1e-4)
+    assert not changed[shaded].any()
+
+    def psnr_of(a, b):
+        mse = np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2)
+        return 10 * np.log10(1.0 / max(float(mse), 1e-12))
+
+    assert psnr_of(fixed, full) >= psnr_of(q, full) - 1e-6

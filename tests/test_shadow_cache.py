@@ -140,7 +140,11 @@ def test_moved_light_slot_refreshes_next_frame():
     np.testing.assert_array_equal(atlas2, atlas_fresh)
 
 
-def test_moved_caster_dirties_every_slot():
+def test_moved_caster_dirties_slots_that_see_it():
+    # both directional frusta are scene-fitted, so both see the box: the
+    # per-light signature restriction (ops/shadow.shadow_signature r5)
+    # keeps both slots dirty here; band-level locality is exercised by the
+    # progressive tests below
     scene = two_light_scene()
     r = make_renderer(scene)
     r.render(cam())
@@ -166,7 +170,7 @@ def test_budget_staggers_slot_updates():
     atlas1, sig1, cur1 = (np.asarray(x) for x in r.state["shadow_cache"])
     assert (atlas1[0] < 1.0).any(), "slot 0 renders on frame 1"
     np.testing.assert_array_equal(atlas1[1], 1.0)  # slot 1 still initial
-    assert np.isnan(sig1[1]) and not np.isnan(sig1[0])
+    assert np.isnan(sig1[1]).all() and not np.isnan(sig1[0]).any()
 
     r.render(cam())
     atlas2, sig2, cur2 = (np.asarray(x) for x in r.state["shadow_cache"])
@@ -177,3 +181,122 @@ def test_budget_staggers_slot_updates():
     r.render(cam())
     atlas3 = np.asarray(r.state["shadow_cache"][0])
     np.testing.assert_array_equal(atlas2, atlas3)  # converged
+
+
+# -- round 5: multi-component signatures + progressive band units ------------
+
+def test_select_updates_multicomponent_sig():
+    # (n, C) signatures: dirty = ANY component changed (ADVICE r4: a
+    # single scalar's threshold scales with the whole-scene fold)
+    sig = jnp.array([[1.0, 5.0], [2.0, 6.0], [3.0, 7.0]])
+    prev = jnp.array([[1.0, 5.0], [2.0, 9.0], [jnp.nan, jnp.nan]])
+    sel, new_sig, cur = select_shadow_updates(sig, prev, jnp.int32(0), 0)
+    np.testing.assert_array_equal(np.asarray(sel), [False, True, True])
+    np.testing.assert_array_equal(np.asarray(new_sig), np.asarray(sig))
+
+
+def test_band_matrix_tiles_the_full_render():
+    """K band renders through band_matrix, stacked, equal the full render
+    (same pixel centers; only triangle-setup rounding differs)."""
+    from renderer_tpu.ops.raster_jax import rasterize
+    from renderer_tpu.ops.shadow import band_matrix, light_matrices_cube
+
+    scene = two_light_scene()
+    from renderer_tpu.ops.geometry import (
+        coarse_cull, expand_clip_only, prepare_frame_columns,
+    )
+
+    prepared = prepare_frame_columns(scene, cam())
+    model = prepared[0]
+    smin, smax = prepared[5], prepared[6]
+    mats = light_matrices_cube(scene.lights, smin, smax)
+    m = mats[0, 0]
+    S, K = 64, 4
+    from renderer_tpu.ops.geometry import mats44
+
+    model44 = mats44(model)
+    lod = jnp.zeros((model44.shape[0],), jnp.int32)
+
+    def render_under(mat, h):
+        clip_mats = jnp.einsum(
+            "ij,njk->nik", mat, model44, precision="highest"
+        )
+        visible = coarse_cull(scene, model44, mat)
+        clip, valid, count = expand_clip_only(scene, visible, lod, clip_mats, 512)
+        return rasterize(
+            clip, valid, S, h, cull_backface=False, count=count
+        ).depth
+
+    full = np.asarray(render_under(m, S))
+    bands = [
+        np.asarray(render_under(band_matrix(m, b, K), S // K)) for b in range(K)
+    ]
+    tiled = np.concatenate(bands, axis=0)
+    # pixel centers coincide; allow triangle-setup rounding on edge pixels
+    mismatch = np.abs(tiled - full) > 1e-5
+    assert mismatch.mean() < 0.01, f"{mismatch.mean():.4f} of pixels differ"
+
+
+def _progressive_renderer(scene, K=4, **kw):
+    return make_renderer(
+        scene, shadow_update_budget=1, shadow_progressive=K, **kw
+    )
+
+
+def test_progressive_converges_to_whole_slot_render():
+    scene = two_light_scene()
+    K = 4
+    r = _progressive_renderer(scene, K=K)
+    # budget 1 unit/frame; 2 slots x K bands = 8 units to converge
+    for _ in range(2 * K + 1):
+        r.render(cam())
+    atlas_p, sig_p, _ = (np.asarray(x) for x in r.state["shadow_cache"])
+    assert not np.isnan(sig_p).any(), "all units rendered"
+
+    r_whole = make_renderer(scene)
+    r_whole.render(cam())
+    atlas_w = np.asarray(r_whole.state["shadow_cache"][0])
+    mismatch = np.abs(atlas_p - atlas_w) > 1e-5
+    assert mismatch.mean() < 0.01, f"{mismatch.mean():.4f} of texels differ"
+
+    # converged: further frames render nothing
+    r.render(cam(0.3))
+    atlas_p2 = np.asarray(r.state["shadow_cache"][0])
+    np.testing.assert_array_equal(atlas_p, atlas_p2)
+
+
+def test_progressive_moved_caster_dirties_only_overlapping_bands():
+    """The VERDICT r4 item-2 contract: an instance moving outside a band
+    unit's frustum leaves that unit's signature (and atlas rows) alone."""
+    scene = two_light_scene()
+    K = 4
+    r = _progressive_renderer(scene, K=K)
+    for _ in range(2 * K + 1):
+        r.render(cam())
+    atlas1, sig1, _ = (np.asarray(x) for x in r.state["shadow_cache"])
+
+    # nudge the box slightly (stays well inside its band neighborhood)
+    inst = scene.instances
+    moved = scene._replace(
+        instances=inst._replace(
+            translation=inst.translation.at[1].set(jnp.array([0.05, 0.8, 0.0]))
+        )
+    )
+    from renderer_tpu.ops.geometry import prepare_frame_columns
+    from renderer_tpu.ops.shadow import light_matrices_cube, shadow_signature
+
+    prepared = prepare_frame_columns(moved, cam())
+    mats = light_matrices_cube(moved.lights, prepared[5], prepared[6])
+    sig_new = np.asarray(
+        shadow_signature(moved, mats, moved.lights, prepared[0], 2,
+                         progressive=K)
+    )
+    changed = (sig_new != sig1).any(axis=-1)  # (2, K) dirty map
+    # the 0.5-half-extent box cannot overlap every band of a scene-fitted
+    # slot at K=4: at least one band per slot must stay clean, and at
+    # least one must be dirty (the box IS in view of both lights)
+    for s in range(2):
+        assert changed[s].any(), f"slot {s}: box move must dirty some band"
+        assert not changed[s].all(), (
+            f"slot {s}: box move dirtied every band — per-band restriction lost"
+        )

@@ -53,9 +53,15 @@ pytestmark = pytest.mark.skipif(
 def _run(script: str, timeout: int = 600, name: str = "kernel test"):
     """One switch config per subprocess with its own compile-time budget: a
     hung compile names ITSELF instead of failing a 4-compile batch opaquely
-    (VERDICT r3 weak #6). A timeout is compile-SERVICE degradation (the
-    shared axon compile queue serializes under contention and recovers by
-    itself) — skip with the config's name, don't fail."""
+    (VERDICT r3 weak #6).
+
+    A timeout FAILS by default (ADVICE r4: a skip here let a genuine
+    compile hang read as green CI) — unless a probe proves the shared
+    axon compile service itself is degraded: a trivial one-op Pallas
+    program that normally compiles in ~1 s. If the probe also stalls, the
+    queue is contended/degraded (it serializes under load and recovers by
+    itself) and the config skips with its name; if the probe is fine, the
+    timeout is OUR regression and the test fails."""
     try:
         out = subprocess.run(
             [sys.executable, "-c", script.replace("__REPO__", _REPO)],
@@ -63,12 +69,43 @@ def _run(script: str, timeout: int = 600, name: str = "kernel test"):
             cwd=_REPO,
         )
     except subprocess.TimeoutExpired:
-        pytest.skip(
-            f"{name}: compile service did not finish within {timeout}s "
-            "(axon queue degraded/contended — rerun alone)"
+        if _compile_service_degraded():
+            pytest.skip(
+                f"{name}: compile service degraded (trivial-program probe "
+                f"also stalled) — rerun alone"
+            )
+        pytest.fail(
+            f"{name}: compile did not finish within {timeout}s while the "
+            "compile service is healthy (trivial probe compiled fine) — "
+            "this is a kernel compile hang, not service degradation"
         )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "TPU_KERNEL_OK" in out.stdout, out.stdout + out.stderr
+
+
+_PROBE_SCRIPT = r"""
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+def k(x_ref, o_ref):
+    o_ref[...] = x_ref[...] + 1.0
+x = jnp.zeros((8, 128), jnp.float32)
+y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+y.block_until_ready()
+print("PROBE_OK")
+"""
+
+
+def _compile_service_degraded(probe_timeout: int = 120) -> bool:
+    """True when even a trivial Pallas program can't compile promptly."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SCRIPT],
+            capture_output=True, text=True, timeout=probe_timeout,
+            env=_clean_env(), cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return True
+    return "PROBE_OK" not in out.stdout
 
 
 _RASTER_SCRIPT = r"""

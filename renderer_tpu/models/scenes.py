@@ -266,24 +266,38 @@ def sponza_like_scene(
     limits: SceneLimits = None,
     with_lods: bool = True,
     area: float = 120.0,
+    n_textures: int = 2,
+    tex_size: int = 256,
+    texture_slots: int = 0,  # extra preallocated atlas layers (streaming)
 ) -> "Scene":
     """Sponza x 10k class: a large instanced field for the culling/perf path.
 
     A ground plane plus n_instances of mixed meshes (boxes, spheres, tori)
     scattered over an area much larger than the view frustum, so frustum
     culling and LOD selection carry the frame budget — the reference's
-    design point (10k culled instances, BASELINE.md)."""
+    design point (10k culled instances, BASELINE.md).
+
+    n_textures: distinct base-color textures AND distinct normal maps
+    (2*n_textures atlas layers; materials scale to use them all). The
+    texture-envelope demonstration (VERDICT r4 item 6; the reference's
+    bindless design constant is 2x3072 partially-bound slots,
+    renderer.rs:243-248) builds this scene at n_textures=64+ — the
+    bindless-atlas sampler gathers from a flat layer address space, so its
+    cost is per-PIXEL, not per-layer (scripts/prof_tex_envelope.py
+    measures the delta)."""
     rng = np.random.default_rng(seed)
+    n_mats = max(32, n_textures)
     limits = limits or SceneLimits(
         max_instances=max(16384, 1 << int(np.ceil(np.log2(n_instances + 16)))),
         # the LIBRARY (unique meshes + LOD chains) is small — instancing
         # multiplies at draw time; 64k keeps tri_rec resident (32 MB)
         max_vertices=1 << 16,
         max_triangles=1 << 16,
-        max_materials=64,
+        max_materials=max(64, n_mats + 1),
         max_lights=4,  # shading loops over light slots; keep the table tight
+        max_textures=max(64, 2 * n_textures),
     )
-    b = SceneBuilder(limits)
+    b = SceneBuilder(limits, atlas_size=tex_size)
     plane = b.add_mesh(primitives.plane(size=area * 1.2))
     # textures so the perf path exercises mipmapped sampling (BASELINE cfg 4)
     texs = [
@@ -301,6 +315,17 @@ def sponza_like_scene(
             primitives.bump_normal_texture(256, bumps=12, strength=0.6, kind="grooves")
         ),
     ]
+    for i in range(2, n_textures):  # distinct procedural variety per layer
+        texs.append(b.add_texture(primitives.checkerboard_texture(
+            256, squares=int(rng.integers(4, 24)),
+            c0=tuple(int(c) for c in rng.integers(40, 255, 3)),
+            c1=tuple(int(c) for c in rng.integers(40, 255, 3)),
+        )))
+        nmaps.append(b.add_texture(primitives.bump_normal_texture(
+            256, bumps=int(rng.integers(3, 16)),
+            strength=float(rng.uniform(0.3, 0.9)),
+            kind="grooves" if i % 2 else "bumps",
+        )))
 
     # LOD chains from the native grid-clustering simplifier (meshopt-parity)
     sph = primitives.uv_sphere(rings=16, sectors=24)
@@ -312,15 +337,16 @@ def sponza_like_scene(
         b.add_mesh(tor, auto_lods=with_lods),
     ]
 
+    n_t = len(texs)
     mats = [
         b.add_material(
             base_color=tuple(rng.uniform(0.2, 0.95, 3)) + (1.0,),
             roughness=float(rng.uniform(0.2, 0.9)),
             metallic=float(rng.choice([0.0, 0.0, 1.0])),
-            base_color_tex=texs[i % 2] if i % 3 == 0 else -1,
-            normal_tex=nmaps[i % 2],
+            base_color_tex=texs[i % n_t] if (n_t > 2 or i % 3 == 0) else -1,
+            normal_tex=nmaps[i % n_t],
         )
-        for i in range(32)
+        for i in range(n_mats)
     ]
     floor = b.add_material(
         base_color=(0.45, 0.45, 0.48, 1.0), roughness=0.9, normal_tex=nmaps[1]
@@ -342,4 +368,4 @@ def sponza_like_scene(
         )
     b.add_light(position=(0.4, -1.0, 0.2), directional=True, intensity=2.5, shadow_slot=0)
     b.add_light(position=(0.0, 20.0, 0.0), intensity=300.0)
-    return b.build()
+    return b.build(texture_slots=texture_slots)

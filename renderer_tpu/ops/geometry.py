@@ -656,6 +656,20 @@ def cluster_budget_overflow(
     return jnp.maximum(jnp.sum(ci) - budget, 0)
 
 
+def expansion_demand(scene: Scene, visible: jnp.ndarray, lod: jnp.ndarray):
+    """() i32 — total triangles the visible set WANTS to expand this frame.
+
+    The truncation-free signal for capacity budgeting (runtime/autocap.py):
+    expand_draw_stream clamps silently at its capacity and the post-cull
+    draw-list count only reports survivors of whatever made it through, so
+    neither says how much was dropped. This is the camera-path analogue of
+    shadow_caster_truncation's per-slot demand (ops/shadow.py)."""
+    tc = jnp.where(
+        visible, scene.meshes.lod_tri_count[scene.instances.mesh_id, lod], 0
+    )
+    return jnp.sum(tc)
+
+
 def prepare_frame_columns(scene: Scene, camera: Camera):
     """The whole prepare stage (model matrices, clip matrices, coarse cull,
     LOD select, scene bounds) in flat column math.

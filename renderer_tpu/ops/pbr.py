@@ -385,10 +385,13 @@ def shade_pbr(
         if rt_grid is not None:
             from renderer_tpu.ops.rt_grid import rt_shadow_grid
 
-            light_mats, lod_i, model, radius, caster_cap, n_slots, interp_flag = rt_grid
+            (light_mats, lod_i, model, radius, caster_cap, n_slots,
+             interp_flag) = rt_grid[:7]
+            rt_scale = rt_grid[7] if len(rt_grid) > 7 else 1
             rt_occ_slots = rt_shadow_grid(
                 scene, world, n_geom, covered, light_mats, lod_i, model,
                 radius, caster_cap, n_slots, interpret=interp_flag,
+                tri=tri_in, rt_scale=rt_scale, halo_axis=halo_axis,
             )
         elif rt is not None:
             from renderer_tpu.ops.rt import rt_shadow_planes

@@ -205,6 +205,16 @@ def _occlusion_kernel(
         jax.lax.fori_loop(0, count, body, 0)
 
 
+def _pad_to_tiles(a, fill):
+    """Pad (H, W) up to (TILE_H, TILE_W) multiples (reduced-res grids)."""
+    h, w = a.shape
+    ph = (-h) % TILE_H
+    pw = (-w) % TILE_W
+    if ph == 0 and pw == 0:
+        return a
+    return jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def occlusion_grid(
     clip: jnp.ndarray,    # (T, 3, 4) caster triangles in LIGHT clip space
@@ -214,9 +224,17 @@ def occlusion_grid(
     ld: jnp.ndarray,      # (H, W) receiver light depth (biased; +inf = skip)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(H, W) f32 occlusion: 1 lit, 0 shadowed. Exact analytic coverage."""
+    """(H, W) f32 occlusion: 1 lit, 0 shadowed. Exact analytic coverage.
+
+    Grids that are not tile multiples (reduced-resolution rt tiers) are
+    padded with ld=+inf receivers — padded tiles have empty receiver
+    bboxes and walk zero caster blocks."""
+    h0, w0 = lx.shape
+    if h0 % TILE_H or w0 % TILE_W:
+        lx = _pad_to_tiles(lx, 0.0)
+        ly = _pad_to_tiles(ly, 0.0)
+        ld = _pad_to_tiles(ld, jnp.inf)
     h, w = lx.shape
-    assert w % TILE_W == 0 and h % TILE_H == 0, (h, w)
     t_cap = clip.shape[0]
     assert t_cap % BLOCK == 0, (t_cap, BLOCK)
     n_ty, n_tx = h // TILE_H, w // TILE_W
@@ -279,7 +297,50 @@ def occlusion_grid(
         ly,
         ld,
     )
-    return occ
+    return occ[:h0, :w0]
+
+
+def _bilateral_upsample(low, tri_lo, tri_full, s: int, off: int):
+    """(h/s + 1, w/s) halo-extended occlusion -> (H, W) by
+    triangle-ID-aware bilinear.
+
+    `low`/`tri_lo` carry ONE extra bottom row (the below-halo: the next
+    SPMD shard's first sample row, or a clamp copy on a single device /
+    the global bottom — ops/pbr._halo_rows), so the i0+1 corner is always
+    a real array row and the sharded result equals the single-device one.
+    The four bilinear corners come from TWO small axis gathers (W column
+    indices on the low-res grid, then H row indices — ~3k indices total,
+    nothing like a per-pixel gather); corner weights are bilinear x
+    same-triangle-ID, so shadow values never bleed across surfaces; when
+    no corner shares the pixel's triangle the plain bilinear stands (the
+    standard bilateral-upsample fallback)."""
+    big_h, big_w = tri_full.shape
+    h_lo, w_lo = low.shape[0] - 1, low.shape[1]
+    fy = (jnp.arange(big_h, dtype=jnp.float32) - off) / s
+    i0 = jnp.clip(jnp.floor(fy), 0, h_lo - 1).astype(jnp.int32)
+    i1 = i0 + 1  # the halo row when i0 is the last real row
+    wy = jnp.clip(fy - i0.astype(jnp.float32), 0.0, 1.0)[:, None]
+    fx = (jnp.arange(big_w, dtype=jnp.float32) - off) / s
+    j0 = jnp.clip(jnp.floor(fx), 0, w_lo - 1).astype(jnp.int32)
+    j1 = jnp.minimum(j0 + 1, w_lo - 1)
+    wx = jnp.clip(fx - j0.astype(jnp.float32), 0.0, 1.0)[None, :]
+
+    def up(a, iy, jx):
+        return jnp.take(jnp.take(a, jx, axis=1), iy, axis=0)
+
+    num = jnp.zeros(tri_full.shape, jnp.float32)
+    den = jnp.zeros(tri_full.shape, jnp.float32)
+    plain = jnp.zeros(tri_full.shape, jnp.float32)
+    for iy, wyc in ((i0, 1.0 - wy), (i1, wy)):
+        for jx, wxc in ((j0, 1.0 - wx), (j1, wx)):
+            c = up(low, iy, jx)
+            t = up(tri_lo, iy, jx)
+            wb = wyc * wxc
+            wgt = wb * (t == tri_full).astype(jnp.float32)
+            num = num + wgt * c
+            den = den + wgt
+            plain = plain + wb * c  # bilinear weights sum to 1
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-9), plain)
 
 
 def rt_shadow_grid(
@@ -295,6 +356,15 @@ def rt_shadow_grid(
     n_slots: int,
     interpret: bool = False,
     depth_eps: float = 1.5e-3,
+    # production rt tier (VERDICT r4 item 4): trace occlusion on a 1/s
+    # subsampled receiver grid (tiles drop ~s^2-fold) and bilateral-upsample
+    # per slot with triangle-ID weights; `tri` = (H, W) triangle ids
+    # (required when rt_scale > 1). rt_scale=1 traces every pixel (exact).
+    # halo_axis: SPMD row-shard mesh axis (the upsample's bottom corner row
+    # crosses the shard edge; exchanged like the checkerboard halo).
+    tri: jnp.ndarray = None,
+    rt_scale: int = 1,
+    halo_axis: str = None,
 ) -> jnp.ndarray:
     """(n_slots, H, W) per-SLOT occlusion planes (slots without a shadow
     light return 1.0 everywhere). Slot-major so the per-slot caster
@@ -318,6 +388,34 @@ def rt_shadow_grid(
         CUBE_FACE_UPS,
         lod_by_distance,
     )
+
+    if rt_scale > 1:
+        assert tri is not None, "rt_scale > 1 needs the triangle-id plane"
+        from renderer_tpu.ops.pbr import _halo_rows
+
+        s, off = rt_scale, rt_scale // 2
+        occ_lo = rt_shadow_grid(
+            scene, world[:, off::s, off::s], normal[:, off::s, off::s],
+            covered[off::s, off::s], light_mats, lod, model, scene_radius,
+            caster_capacity, n_slots, interpret=interpret,
+            depth_eps=depth_eps,
+        )
+        tri_lo = tri[off::s, off::s]
+        # halo-extend with the below row (next shard's first sample row;
+        # clamp copy on a single device / at the global bottom)
+        occ_ext = jnp.concatenate(
+            [occ_lo, _halo_rows(occ_lo, halo_axis)[1]], axis=-2
+        )
+        tri_ext = jnp.concatenate(
+            [tri_lo, _halo_rows(tri_lo, halo_axis)[1]], axis=-2
+        )
+        return jnp.stack(
+            [
+                _bilateral_upsample(occ_ext[k], tri_ext, tri, s, off)
+                for k in range(n_slots)
+            ],
+            axis=0,
+        )
 
     model = mats44(model)
     from renderer_tpu.mathx.camera import look_at, perspective

@@ -613,6 +613,7 @@ def build_forward_graph(cfg: PipelineConfig) -> FrameGraph:
                 cfg.shadow_tri_capacity or cfg.tri_capacity,
                 cfg.shadow_slots,
                 cfg.pallas_interpret,
+                cfg.rt_scale,  # production tier: 1/s-res trace + ID upsample
             )
             return {img_res: _shade(
                 vis, soup, shade_rec, scene_view, camera, prepared, rt_grid=rt_grid

@@ -7,5 +7,6 @@ state carry with buffer donation (the DoubleBuffered analogue), and frame
 pacing/statistics.
 """
 
+from renderer_tpu.runtime.autocap import AutoCapacityRenderer  # noqa: F401
 from renderer_tpu.runtime.frame import Renderer, RuntimeConfig  # noqa: F401
 from renderer_tpu.runtime.reload import KernelReloader  # noqa: F401

@@ -66,6 +66,75 @@ def test_shadowed_tier_gated_independently():
     json.dumps(r2)
 
 
+def test_dynamic_tier_promotion_to_headline():
+    # dynamic shadowed >= 30 FPS + shadowed gate pass -> value promotes
+    r = bench.result_line(
+        "tpu", 1e5, dt=0.030, cb_dt=0.025, cb_psnr=45.0,
+        sh_dt=0.040, sh_cb_dt=0.030, sh_psnr=41.0,
+        dyn_dt=1.0 / 31.0, dyn_updates=1.2,
+    )
+    assert r["headline_tier"] == "shadowed_dynamic"
+    assert r["value"] == 31.0
+    assert r["shadowed_dynamic_fps"] == 31.0
+    assert r["shadow_updates_per_frame"] == 1.2
+    assert r["vs_baseline"] == round(31.0 / bench.TARGET_FPS, 3)
+    assert r["mtris_per_sec"] == round(1e5 * 31.0 / 1e6, 1)
+    # base-tier numbers still reported
+    assert r["checkerboard_fix_fps"] == 40.0
+    json.dumps(r)
+
+
+def test_dynamic_tier_below_30_keeps_base_headline():
+    r = bench.result_line(
+        "tpu", 1e5, dt=0.030, cb_dt=0.025, cb_psnr=45.0,
+        sh_dt=0.040, sh_cb_dt=0.030, sh_psnr=41.0,
+        dyn_dt=1.0 / 28.0, dyn_updates=1.0,
+    )
+    assert r["headline_tier"] == "base"
+    assert r["value"] == 40.0
+    assert r["shadowed_dynamic_fps"] == 28.0
+
+
+def test_dynamic_tier_gate_fail_keeps_base_headline():
+    # fast dynamic FPS but the shadowed PSNR gate fails -> no promotion
+    r = bench.result_line(
+        "tpu", 1e5, dt=0.030, cb_dt=0.025, cb_psnr=45.0,
+        sh_dt=0.040, sh_cb_dt=0.030, sh_psnr=30.0,
+        dyn_dt=1.0 / 35.0, dyn_updates=1.0,
+    )
+    assert r["headline_tier"] == "base"
+    assert r["value"] == 40.0
+
+
+def test_static_shadowed_tier_reports_zero_atlas_work():
+    r = bench.result_line(
+        "tpu", 1e5, dt=0.030, cb_dt=0.025, cb_psnr=45.0,
+        sh_dt=0.040, sh_cb_dt=0.030, sh_psnr=41.0,
+    )
+    assert r["shadowed_shadow_updates_per_frame"] == 0.0
+
+
+def test_golden_psnr_reported_when_available():
+    r = bench.result_line(
+        "tpu", 1e5, dt=0.030, cb_dt=0.025, cb_psnr=45.0, golden_psnr=33.4
+    )
+    assert r["psnr_vs_golden_db"] == 33.4
+    r2 = bench.result_line(
+        "tpu", 1e5, dt=0.030, cb_dt=0.025, cb_psnr=45.0, golden_psnr=-1.0
+    )
+    assert "psnr_vs_golden_db" not in r2
+
+
+def test_golden_frame_set_is_committed():
+    """VERDICT r4 item 7: the golden set must exist in the repo."""
+    import os
+
+    base = os.path.join(os.path.dirname(bench.__file__), bench.GOLDEN_DIR)
+    for i in range(len(bench.GATE_ANGLES)):
+        path = os.path.join(base, f"shadowed_pose{i}.png")
+        assert os.path.exists(path), f"missing golden frame {path}"
+
+
 def test_psnr_min_takes_worst_pose():
     a = {0.1: np.zeros((4, 4, 3), np.float32), 0.2: np.zeros((4, 4, 3), np.float32)}
     b = {

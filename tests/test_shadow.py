@@ -432,3 +432,45 @@ def test_rt_grid_point_light():
     # has finite resolution + bias, so edges differ)
     agree = ((drop_rt > 0.03) == (drop_sm > 0.03)).mean()
     assert agree > 0.94, f"point rt vs cube-map agreement {agree:.3f}"
+
+
+def test_rt_production_tier_scale():
+    """rt_scale>1 (the production rt tier): occlusion traced on a 1/s grid
+    + triangle-ID bilateral upsample must closely track the exact full-res
+    trace — same shadow, softer edge — and never bleed across surfaces."""
+    b = SceneBuilder(SceneLimits.tiny(), atlas_size=16)
+    plane = b.add_mesh(primitives.plane(size=20.0))
+    box = b.add_mesh(primitives.box())
+    b.add_instance(plane, b.add_material(base_color=(0.8, 0.8, 0.8, 1), roughness=1.0))
+    b.add_instance(box, b.add_material(base_color=(0.8, 0.2, 0.2, 1)),
+                   translation=(0.0, 1.2, 0.0), scale=1.2)
+    b.add_light(position=(0.6, -1.0, 0.2), directional=True, intensity=3.0,
+                shadow_slot=0)
+    scene = b.build()
+    cam = Camera.create(
+        position=jnp.array([0.0, 7.0, 0.01]),
+        rotation=mathx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), -np.pi / 2),
+        fov_y=0.8, near=0.1, far=50.0,
+    )
+
+    def run(scale, rt=True):
+        cfg = PipelineConfig(
+            width=128, height=64, tri_capacity=512, shading="pbr",
+            use_pallas=True, pallas_interpret=True, rt_scale=scale,
+        )
+        r = Renderer(scene, cfg, outputs=("image",))
+        r.set_config(rt=rt)
+        r.apply_config_now()
+        return np.asarray(r.render(cam)["image"])
+
+    lit = run(1, rt=False)
+    exact = run(1)
+    fast = run(2)
+    assert np.isfinite(fast).all()
+    # both tiers darken some pixels vs the unshadowed frame (a shadow)
+    for name, img in (("exact", exact), ("fast", fast)):
+        dark = (lit.mean(axis=-1) - img.mean(axis=-1)) > 0.05
+        assert dark.sum() > 20, f"{name}: no shadow rendered"
+    mse = float(np.mean((np.clip(fast, 0, 1) - np.clip(exact, 0, 1)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 24.0, psnr

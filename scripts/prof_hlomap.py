@@ -31,13 +31,14 @@ def main():
     enable_persistent_cache()
     scene = sponza_like_scene(N_INSTANCES)
     cb = os.environ.get("RT_CB", "") == "1"  # attribute the checkerboard tier
+    rate = os.environ.get("RT_RATE", "checkerboard" if cb else "full")
     cfg = PipelineConfig(
         width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
         use_pallas=True, shading="pbr",
         enable_normal_maps=os.environ.get("RT_NM", "0") == "1",
         aa="edge" if os.environ.get("RT_AA", "0") == "1" else "none",
         trilinear=False,
-        shade_rate="checkerboard" if cb else "full", shade_fix=cb,
+        shade_rate=rate, shade_fix=(rate != "full"),
     )
     r = Renderer(scene, cfg, outputs=("image",))
     if os.environ.get("RT_SHADOWS", "") == "1":  # attribute the shadowed frame

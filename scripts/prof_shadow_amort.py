@@ -57,12 +57,14 @@ def main():
     )
     scene = scene._replace(lights=lights)
 
+    progressive = int(os.environ.get("PROG", "1"))
     cfg = PipelineConfig(
         width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
         use_pallas=True, shading="pbr", enable_normal_maps=True, aa="edge",
         trilinear=False, shade_rate="checkerboard", shade_fix=True,
         shadow_slots=n_slots, shadow_size=size,
         shadow_update_budget=1,
+        shadow_progressive=progressive,
         # apples-to-apples with the reference envelope: it RENDERS 16 slots
         # per frame but its fragment shader samples exactly 2 lights
         # (gltf_mesh.frag hard-codes 2) — shading all 16 per pixel measured
@@ -111,6 +113,35 @@ def main():
     )[0]
     print(f"moved light 7: next frame {ms:.1f} ms; refreshed slots {changed}",
           flush=True)
+
+    # ORBITING light (VERDICT r4 item 2 "Done" criterion): light 7 moves
+    # EVERY frame — per-band signatures + budget-1 progressive renders
+    # bound the per-frame cost at ~1/progressive of a slot re-render
+    if os.environ.get("ORBIT", "0") == "1":
+        import math as _m
+
+        pos_np = np.asarray(lights.position).copy()
+
+        def orbit_scene(k):
+            # pure-numpy light table per frame (PERF rule: no eager jnp)
+            a = 0.25 * k
+            d = np.asarray(
+                [0.6 * _m.sin(a), -1.0, 0.6 * _m.cos(a)], np.float32
+            )
+            p = pos_np.copy()
+            p[7] = d / np.linalg.norm(d)
+            return scene._replace(lights=lights._replace(position=p))
+
+        out = r.render(make_camera(0.6), scene=orbit_scene(0))
+        float(np.asarray(out["image"][0, 0, 0]))
+        n = 24
+        t0 = time.perf_counter()
+        for k in range(1, n + 1):
+            out = r.render(make_camera(0.6 + 0.01 * k), scene=orbit_scene(k))
+        float(np.asarray(out["image"][0, 0, 0]))
+        ms_orbit = (time.perf_counter() - t0) / n * 1e3
+        print(f"ORBITING light 7 ({n_slots}x{size}^2, progressive="
+              f"{progressive}): {ms_orbit:.2f} ms/frame steady", flush=True)
 
 
 if __name__ == "__main__":

@@ -43,7 +43,15 @@ TRI_CAPACITY = 1 << 17  # post-cull capacity (expansion capacity is 2x this)
 FRAMES = 30
 TARGET_FPS = 60.0
 GATE_DB = 40.0
-SHADOW_PROGRESSIVE = 8  # dynamic tier: per-band dirty tracking, 8 bands/slot
+# dynamic tier: per-band dirty tracking, 16 bands/slot (32-row Pallas band
+# renders). Caster capacity per band render = 81920, sized to the measured
+# WORST band demand of the bench scene (~70.5k light-LOD triangles across
+# orbit poses, scripts probe in PERF.md r5 session 4) with ~16% headroom —
+# the whole-slot demand is 460k, so the r4 whole-slot renders silently
+# truncated 71% of casters at the same 131k capacity; per-band rendering
+# both bounds the per-frame cost AND makes the caster set complete.
+SHADOW_PROGRESSIVE = 16
+SHADOW_BAND_CAPACITY = 81920
 PROMOTE_SHADOWED_FPS = 30.0  # shadowed tier becomes the headline past this
 # PSNR gate poses: spread across the timed orbit (VERDICT r3 item 6 — a
 # single-pose gate can pass while other views fail)
@@ -248,6 +256,7 @@ def main():
     cfg_dyn = dataclasses.replace(
         cfg_cb, shadow_update_budget=1,
         shadow_progressive=SHADOW_PROGRESSIVE,
+        shadow_tri_capacity=SHADOW_BAND_CAPACITY,
     )
     n_units = cfg_dyn.shadow_slots * SHADOW_PROGRESSIVE
     dt_dyn, dyn_updates = _measure_mode(
@@ -374,6 +383,9 @@ def result_line(platform, tri_count, dt, cb_dt, cb_psnr,
                 round(dyn_updates, 2) if dyn_updates is not None else None
             ),
             "shadow_progressive_bands": SHADOW_PROGRESSIVE,
+            # per-band caster capacity, sized to the measured worst band
+            # demand (whole-slot rendering truncated 71% at equal capacity)
+            "shadow_caster_capacity": SHADOW_BAND_CAPACITY,
         })
         if sh_gate and dyn_fps >= PROMOTE_SHADOWED_FPS:
             out.update({

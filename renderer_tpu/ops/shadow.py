@@ -128,13 +128,22 @@ def directional_light_matrices(lights: Lights, scene_min, scene_max) -> jnp.ndar
     return jnp.where(want[:, None, None], mats, jnp.eye(4, dtype=jnp.float32))
 
 
-def lod_by_distance(scene, model: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+def lod_by_distance(
+    scene, model: jnp.ndarray, point: jnp.ndarray, bias: float = 0.0
+) -> jnp.ndarray:
     """(N,) i32 per-instance LOD picked by distance from `point` (a light
     position) — the reference picks each shadow caster's LOD by distance to
     the LIGHT, not the camera (shadow_mapping.rs:462 pick_lod(...,
     light_position, mesh_position)), so near-light/far-camera casters shadow
     at full detail. Same coverage formula as the camera pick
-    (geometry.prepare_frame_columns) with the light as the eye."""
+    (geometry.prepare_frame_columns) with the light as the eye.
+
+    bias: extra LOD levels for RESOLUTION-aware shadow caster detail. The
+    reference's pick is calibrated for its 4096^2 slots; a smaller slot's
+    texel footprint is proportionally larger, so its casters deserve
+    log2(4096/slot_size) coarser LODs — at the bench's 512^2 slots the
+    unbiased pick wanted 460k caster triangles for a 262k-texel target
+    (measured r5; silently truncated at the 131k caster capacity)."""
     from renderer_tpu.ops.geometry import mats44
 
     model = mats44(model)
@@ -151,8 +160,18 @@ def lod_by_distance(scene, model: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarra
     radius = jnp.linalg.norm(mx - mn, axis=-1) * 0.5 * s
     dist = jnp.linalg.norm(cw - point[None], axis=-1)
     ratio = radius / jnp.maximum(dist, 1e-6)
-    lod = jnp.floor(jnp.log2(jnp.maximum(0.25 / jnp.maximum(ratio, 1e-6), 1.0)))
+    lod = jnp.floor(
+        jnp.log2(jnp.maximum(0.25 / jnp.maximum(ratio, 1e-6), 1.0)) + bias
+    )
     return jnp.clip(lod, 0, lib.lod_tri_count.shape[1] - 1).astype(jnp.int32)
+
+
+def shadow_lod_bias(slot_size: int) -> float:
+    """Resolution-aware caster LOD bias for a slot_size^2 atlas slot (0 at
+    the reference's 4096^2 design point, shadow_mapping.rs:22-24)."""
+    import math
+
+    return max(0.0, math.log2(4096.0 / slot_size))
 
 
 def shadow_caster_truncation(
@@ -162,6 +181,9 @@ def shadow_caster_truncation(
     light_mats: jnp.ndarray,  # (L, 6, 4, 4) from light_matrices_cube
     n_slots: int,
     caster_capacity: int,
+    slot_size: int = 4096,  # resolution-aware caster LOD (shadow_lod_bias)
+    scene_min=None,         # scene AABB: match the render path's
+    scene_max=None,         # camera-independent directional LOD pick
 ) -> jnp.ndarray:
     """(n_slots,) i32 — shadow casters DROPPED per slot this frame.
 
@@ -189,10 +211,28 @@ def shadow_caster_truncation(
 
         def directional(_):
             vis = coarse_cull(scene, model, light_mats[li, 0]) & active
-            return demand(vis, lod)
+            if scene_min is not None:
+                # match the render path's camera-independent,
+                # resolution-aware pick (directional branch of
+                # render_shadow_atlas_per_light)
+                center = (scene_min + scene_max) * 0.5
+                radius = jnp.linalg.norm(scene_max - scene_min) * 0.5 + 1e-3
+                d_dir = lights.position[li] / jnp.maximum(
+                    jnp.linalg.norm(lights.position[li]), 1e-8
+                )
+                eye = center - d_dir * (radius * 2.0)
+                lod_d = lod_by_distance(
+                    scene, model, eye, bias=shadow_lod_bias(slot_size)
+                )
+            else:
+                lod_d = lod  # legacy: the camera pick
+            return demand(vis, lod_d)
 
         def point(_):
-            lod_l = lod_by_distance(scene, model, lights.position[li])
+            lod_l = lod_by_distance(
+                scene, model, lights.position[li],
+                bias=shadow_lod_bias(slot_size),
+            )
             worst = jnp.int32(0)
             for f in range(6):
                 vis = coarse_cull(scene, model, light_mats[li, f]) & active
@@ -295,16 +335,30 @@ def shadow_signature(
     salts = (2.0, 23.0, 61.0)
     assert len(salts) == SIG_C
 
+    # the caster fold is BILINEAR in (row weights x column weights), so the
+    # k-contraction hoists out of the per-unit loop: one (N,) profile per
+    # salt, each unit then reduces one masked (N,) product — 16x less
+    # per-unit work, which matters at progressive K x n_slots units
+    # (the unhoisted folds measured ~3 ms/frame of standing cost at the
+    # bench's 32-unit dynamic config, PERF.md r5 session 3)
+    n_inst = flat.shape[0]
+    profiles = []
+    for salt in salts:
+        wk = _weights(flat.shape[1], salt + 1.0)
+        g_model = (flat * wk[None, :]).sum(axis=1) * _weights(n_inst, salt)
+        g_mid = (
+            mid * _weights(n_inst, salt + 11.0)
+            * _weights(1, salt + 12.0)[0]
+        )
+        g_cnt = _weights(n_inst, salt + 29.0)
+        profiles.append(g_model + g_mid + g_cnt)  # (N,) per salt
+
     def unit_sig(li, active, directional, vis):
         """SIG_C-component fold of (light term) x (masked casters)."""
         visf = vis.astype(jnp.float32)
         comps = []
-        for salt in salts:
-            caster = (
-                _fold(flat * visf[:, None], salt)
-                + _fold(mid[:, None] * visf[:, None], salt + 11.0)
-                + jnp.sum(visf * _weights(visf.shape[0], salt + 29.0))
-            )
+        for salt, prof in zip(salts, profiles):
+            caster = jnp.sum(prof * visf)
             slot_term = (
                 _fold(light_mats[li].reshape(6, 16), salt + 3.0)
                 + jnp.where(directional, 17.0, 39.0)
@@ -559,7 +613,9 @@ def render_shadow_atlas_per_light(
                     jnp.linalg.norm(lights.position[li]), 1e-8
                 )
                 eye = center - d_dir * (radius * 2.0)
-                lod_pick = lod_by_distance(scene, model, eye)
+                lod_pick = lod_by_distance(
+                    scene, model, eye, bias=shadow_lod_bias(slot_size)
+                )
             else:
                 # legacy: ortho texel footprint is uniform, camera coverage
                 # pick is a usable detail proxy (but camera-DEPENDENT)
@@ -583,7 +639,10 @@ def render_shadow_atlas_per_light(
         def point(_):
             # perspective: pick LOD by distance to THIS light (ref
             # shadow_mapping.rs:462) — shared across the six faces
-            lod_l = lod_by_distance(scene, model, lights.position[li])
+            lod_l = lod_by_distance(
+                scene, model, lights.position[li],
+                bias=shadow_lod_bias(slot_size),
+            )
             rows = []
             for r in range(3):
                 pair = [

@@ -82,6 +82,8 @@ def format_hud(
             trunc = shadow_caster_truncation(
                 renderer.scene, model, lod, mats, cfg.shadow_slots,
                 cfg.shadow_tri_capacity or cfg.tri_capacity,
+                slot_size=cfg.shadow_size,
+                scene_min=prepared[5], scene_max=prepared[6],
             )
             t = [int(x) for x in trunc]
             lines.append(
@@ -105,21 +107,16 @@ def format_hud(
 
             sig, cursor = cache[1], cache[2]
             sig = np.asarray(sig)
-            never = int(np.isnan(sig).any(axis=-1).sum()) if sig.ndim == 2 \
-                else int(np.isnan(sig).sum())
-            line = (
-                f"shadow atlas cache: {sig.shape[0]} slots, "
-                f"{never} never-rendered, budget "
+            # units = slots, or (slot, band) pairs under shadow_progressive
+            units = sig.reshape(-1, sig.shape[-1])
+            never = int(np.isnan(units).any(axis=-1).sum())
+            lines.append(
+                f"shadow atlas cache: {sig.shape[0]} slots"
+                + (f" x {sig.shape[1]} bands" if sig.ndim == 3 else "")
+                + f", {never} never-rendered units, budget "
                 f"{renderer.cfg.shadow_update_budget or 'all-dirty'}/frame, "
                 f"cursor {int(np.asarray(cursor))}"
             )
-            if len(cache) > 3:  # progressive sub-slot state
-                line += (
-                    f", band {int(np.asarray(cache[3]))}"
-                    f"/{renderer.cfg.shadow_progressive}"
-                    f" (slot {int(np.asarray(cache[4]))})"
-                )
-            lines.append(line)
     pass_ms = renderer.stats.get("pass_ms")
     if pass_ms:
         lines.append("pass timings (device, diagnostic — see pass_timings()):")

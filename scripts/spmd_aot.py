@@ -73,11 +73,18 @@ def main():
         width=WIDTH, height=HEIGHT, tri_capacity=TRI_CAPACITY,
         use_pallas=True, pallas_interpret=not on_tpu,
         shading="pbr", enable_normal_maps=True, aa="edge", trilinear=False,
+        # the round-5 headline configuration: the checkerboard+fix VRS tier
+        # with the amortized shadow atlas on (the reference's always-on
+        # shadows), per-band signatures + progressive band units included
+        shade_rate="checkerboard", shade_fix=True,
+        shadow_update_budget=1, shadow_progressive=8,
         spmd_devices=n,
     )
     scene = sponza_like_scene(N_INSTANCES)
     mesh = make_mesh(devices)
     r = Renderer(scene, cfg, outputs=("image",), spmd_mesh=mesh)
+    r.set_config(shadows=True)
+    r.apply_config_now()
     plan = r.plans.plan(r.config.as_dict())
 
     import numpy as np

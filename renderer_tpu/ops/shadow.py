@@ -731,7 +731,7 @@ def shadow_occlusion(
     bias_term = bias + slope_bias * jnp.minimum(slope, 4.0)
     tail = world.shape[1:]  # (H, W) image or (P,) flat — shape-generic
 
-    def _pcf(tx, ty, ref_d, inside, x_lo, x_hi, y_lo, y_hi, xn, yn):
+    def _pcf(tx, ty, ref_d, inside, x_lo, x_hi, y_lo, y_hi, fw_c, fh_c):
         """2x2 PCF via a GROUP-PACKED per-texel quad table: ONE 16-lane
         row-gather per pixel. A (P, 4) f32 gather runs in the narrow-row
         regime (~6x the per-index cost — measured 26.9 ms/frame at 1080p,
@@ -740,16 +740,33 @@ def shadow_occlusion(
         tree picks the texel's slice — the exact recipe of the texture
         sampler's quad table (ops/texture.py _gather_quad_row, PERF.md
         round-3). The table's +1 neighbors are pre-clamped (slot edge or
-        cube-face rect); bases clamped up from BELOW a bound collapse both
-        taps onto the edge texel, reproduced exactly by the px_in/py_in
-        selects."""
+        cube-face rect, static fw_c/fh_c clamp periods); bases clamped up
+        from BELOW a bound collapse both taps onto the edge texel,
+        reproduced exactly by the px_in/py_in selects.
+
+        The neighbor planes are built from contiguous SLICES + edge
+        selects, not index-array gathers: `slot_depth[:, xn]` was a
+        16.7M-element column gather at a 4096^2 slot (~60+ ms/light/frame
+        — the whole 16x4096^2 envelope's steady state, PERF.md r5)."""
         x0 = jnp.floor(tx).astype(jnp.int32)
         y0 = jnp.floor(ty).astype(jnp.int32)
         fx = tx - x0
         fy = ty - y0
-        d10_img = slot_depth[:, xn]
-        d01_img = slot_depth[yn, :]
-        d11_img = d01_img[:, xn]
+        ar_ = jnp.arange(s, dtype=jnp.int32)
+        col_edge = (ar_ % fw_c) == fw_c - 1    # x+1 clamps at face right
+        row_edge = (ar_ % fh_c) == fh_c - 1    # y+1 clamps at face bottom
+        shl = jnp.concatenate(
+            [slot_depth[:, 1:], slot_depth[:, -1:]], axis=1
+        )
+        d10_img = jnp.where(col_edge[None, :], slot_depth, shl)
+        shd = jnp.concatenate(
+            [slot_depth[1:, :], slot_depth[-1:, :]], axis=0
+        )
+        d01_img = jnp.where(row_edge[:, None], slot_depth, shd)
+        d11_img = jnp.where(
+            col_edge[None, :], d01_img,
+            jnp.concatenate([d01_img[:, 1:], d01_img[:, -1:]], axis=1),
+        )
         quad = jnp.stack(
             [
                 slot_depth.reshape(-1),
@@ -827,9 +844,8 @@ def shadow_occlusion(
         d = clip[2] / w
         inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) & (d >= 0) & (d <= 1)
         ref_d = d - bias_term
-        xn = jnp.minimum(ar + 1, s - 1)
         return _pcf(
-            u * s - 0.5, v * s - 0.5, ref_d, inside, 0, s - 1, 0, s - 1, xn, xn
+            u * s - 0.5, v * s - 0.5, ref_d, inside, 0, s - 1, 0, s - 1, s, s
         )
 
     def _point():
@@ -875,11 +891,9 @@ def shadow_occlusion(
         ref_d = d - bias_term
         col = face % 2
         row = face // 2
-        xn = jnp.minimum(ar + 1, (ar // fw) * fw + fw - 1)
-        yn = jnp.minimum(ar + 1, (ar // fh) * fh + fh - 1)
         return _pcf(
             col * fw + u * fw - 0.5, row * fh + v * fh - 0.5, ref_d, inside,
-            col * fw, col * fw + fw - 1, row * fh, row * fh + fh - 1, xn, yn,
+            col * fw, col * fw + fw - 1, row * fh, row * fh + fh - 1, fw, fh,
         )
 
     # static is_point (the Renderer's light-cast specialization): pick the

@@ -60,7 +60,12 @@ class AutoCapacityRenderer:
         self,
         scene: Scene,
         cfg: Optional[PipelineConfig] = None,
-        ladder: Sequence[int] = (1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 18, 1 << 19),
+        # powers of two plus 3*2^k mid-rungs: capacity cost is ~linear, so
+        # a mid-rung saves ~25% whenever demand lands between octaves
+        ladder: Sequence[int] = (
+            1 << 14, 1 << 15, 1 << 16, 3 << 15, 1 << 17, 3 << 16,
+            1 << 18, 3 << 17, 1 << 19,
+        ),
         check_every: int = 8,
         up_frac: float = 0.85,
         down_frac: float = 0.6,

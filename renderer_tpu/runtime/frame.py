@@ -59,6 +59,11 @@ class Renderer:
 
         enable_persistent_cache()  # crossbar analogue: warm process starts
         self.cfg = cfg or PipelineConfig()
+        # the render()-time light-count contract only applies when the
+        # prefix bound was AUTO-derived from the construction scene; an
+        # explicit shade_light_slots (e.g. "shade 2 of 16 lights like the
+        # reference's shader") is the caller's own statement
+        self._auto_light_slots = self.cfg.shade_light_slots is None
         if self.cfg.shade_light_slots is None:
             # static light-slot specialization: shade only the scene's live
             # prefix of the light table (the reference hard-codes 2 lights in
@@ -229,7 +234,7 @@ class Renderer:
         cfg = self.cfg
         k = cfg.shade_light_slots
         count = int(np.asarray(scene.lights.count))
-        if count > k:
+        if self._auto_light_slots and count > k:
             raise ValueError(
                 f"scene has {count} live lights but the Renderer was "
                 f"compiled for {k} (shade_light_slots); construct a new "

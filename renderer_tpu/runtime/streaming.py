@@ -163,27 +163,41 @@ def _spawn_instance(scene: Scene, slot, mesh_id, material_id, translation, rotat
     )
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _upload_texture_mips(packed, level_offset, layer, *mips):
+def _split_mips(flat, sizes):
+    """Static-shape split of one concatenated mip buffer (see below)."""
+    mips = []
+    off = 0
+    for n in sizes:
+        mips.append(jax.lax.dynamic_slice(flat, (off,), (n,)))
+        off += n
+    return mips
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("sizes",))
+def _upload_texture_mips(packed, level_offset, layer, flat, *, sizes):
     """Write one texture's full mip stack into its atlas layer in ONE donated
     program: every dynamic_update_slice aliases the same donated buffer, so
     there are zero full-atlas copies (mip sizes are static per atlas config,
-    so one compiled program serves every streamed texture)."""
-    for lvl, w in enumerate(mips):
+    so one compiled program serves every streamed texture). The whole stack
+    arrives as ONE concatenated device buffer — per-mip eager transfers
+    cost one tunnel round-trip EACH (~30 ms on the axon relay; measured
+    ~80 ms per texture upload before batching, PERF.md r5)."""
+    for lvl, w in enumerate(_split_mips(flat, sizes)):
         start = level_offset[lvl] + layer * w.shape[0]
         packed = jax.lax.dynamic_update_slice(packed, w, (start,))
     return packed
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _upload_texture_quads(quad, level_offset, layer, *mips):
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("sizes",))
+def _upload_texture_quads(quad, level_offset, layer, flat, *, sizes):
     """Refresh the layer's quad-table rows (the one-gather filtering
     accelerator, scene/textures.py) from its freshly staged mips — same
-    donated-single-program pattern as _upload_texture_mips."""
+    donated-single-program, single-transfer pattern as
+    _upload_texture_mips."""
     from renderer_tpu.scene.textures import QUAD_COLS, quad_rows_for_layer
 
     imgs = []
-    for w in mips:
+    for w in _split_mips(flat, sizes):
         s = int(round(np.sqrt(w.shape[0])))
         imgs.append(w.reshape(s, s))
     rows = quad_rows_for_layer(imgs, xp=jnp)
@@ -198,6 +212,11 @@ def _upload_texture_quads(quad, level_offset, layer, *mips):
         r = pack_quad_rows(r, pack, xp=jnp)
         quad = jax.lax.dynamic_update_slice(quad, r, (start // pack, 0))
     return quad
+
+
+@functools.partial(jax.jit, static_argnames=("cols",))
+def _quad_bl_prefix(quad, cols: int):
+    return quad[:, :cols]
 
 
 class SceneStreamer:
@@ -454,28 +473,34 @@ class SceneStreamer:
 
     def _upload_texture(self, layer: int, words: list) -> None:
         atlas = self.scene.atlas
-        staged = []
-        for w in words:
-            buf = self._stage(w, len(w), ())
-            staged.append(jnp.asarray(buf))
+        # ONE staged transfer for the whole mip stack (each eager per-mip
+        # jnp.asarray is a tunnel round-trip); the donated programs split
+        # it with static slices
+        flat = np.concatenate(words)
+        sizes = tuple(len(w) for w in words)
+        staged = jnp.asarray(self._stage(flat, len(flat), ()))
         packed = _upload_texture_mips(
             atlas.packed_u32,
             atlas.level_offset,
             jnp.int32(layer),
-            *staged,
+            staged,
+            sizes=sizes,
         )
         new_atlas = atlas._replace(packed_u32=packed)
         if atlas.quad_u32 is not None:
             new_quad = _upload_texture_quads(
-                atlas.quad_u32, atlas.level_offset, jnp.int32(layer), *staged
+                atlas.quad_u32, atlas.level_offset, jnp.int32(layer),
+                staged, sizes=sizes,
             )
             new_atlas = new_atlas._replace(
                 quad_u32=new_quad,
-                # refresh the dedicated bilinear-prefix table (one slice
-                # copy of the packed table; see TextureAtlas.quad_bl_u32)
+                # refresh the dedicated bilinear-prefix table (one jitted
+                # slice of the packed table; see TextureAtlas.quad_bl_u32 —
+                # an EAGER slice here was one more tunnel dispatch per
+                # upload and a narrow-table materialization)
                 quad_bl_u32=(
                     None if atlas.quad_bl_u32 is None
-                    else new_quad[:, : 4 * atlas.quad_pack]
+                    else _quad_bl_prefix(new_quad, 4 * atlas.quad_pack)
                 ),
             )
         self.scene = self.scene._replace(atlas=new_atlas)

@@ -29,7 +29,9 @@ from renderer_tpu.utils.compile_cache import enable_persistent_cache
 def main():
     logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/rt_trace3"
     enable_persistent_cache()
-    scene = sponza_like_scene(N_INSTANCES)
+    scene = sponza_like_scene(
+        N_INSTANCES, n_textures=int(os.environ.get("RT_NTEX", "2"))
+    )
     cb = os.environ.get("RT_CB", "") == "1"  # attribute the checkerboard tier
     rate = os.environ.get("RT_RATE", "checkerboard" if cb else "full")
     cfg = PipelineConfig(

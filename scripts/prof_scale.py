@@ -162,7 +162,7 @@ def dense_auto():
                         yaw=0.3 + 0.01 * k, pitch=-0.3)
             for k in range(FRAMES)]
     r = AutoCapacityRenderer(
-        scene, cfg, ladder=(1 << 16, 1 << 17, 1 << 18, 1 << 19),
+        scene, cfg, ladder=(1 << 16, 1 << 17, 1 << 18, 3 << 17, 1 << 19),
         check_every=2, outputs=("image", "soup"),
     )
     # settle the ladder (each new tier compiles once)

@@ -44,14 +44,15 @@ FRAMES = 30
 TARGET_FPS = 60.0
 GATE_DB = 40.0
 # dynamic tier: per-band dirty tracking, 16 bands/slot (32-row Pallas band
-# renders). Caster capacity per band render = 81920, sized to the measured
-# WORST band demand of the bench scene (~70.5k light-LOD triangles across
-# orbit poses, scripts probe in PERF.md r5 session 4) with ~16% headroom —
-# the whole-slot demand is 460k, so the r4 whole-slot renders silently
-# truncated 71% of casters at the same 131k capacity; per-band rendering
-# both bounds the per-frame cost AND makes the caster set complete.
+# renders). The measured worst band demand is ~70.5k light-LOD triangles
+# (PERF.md r5 session 4) — the whole-slot demand is 460k, so r4's
+# whole-slot renders silently truncated 71% of casters at this same
+# capacity; per-band rendering makes the caster set complete. Capacity
+# stays at the camera path's 131072: the demand-fit 81920 deterministically
+# faults the TPU worker (3/3 runs; 32768/131072 clean — an open Mosaic/
+# kernel generality bug at that capacity, PERF.md r5 session 8).
 SHADOW_PROGRESSIVE = 16
-SHADOW_BAND_CAPACITY = 81920
+SHADOW_BAND_CAPACITY = 131072
 PROMOTE_SHADOWED_FPS = 30.0  # shadowed tier becomes the headline past this
 # PSNR gate poses: spread across the timed orbit (VERDICT r3 item 6 — a
 # single-pose gate can pass while other views fail)

@@ -73,7 +73,10 @@ QUAD_COLS = 16
 # never straddle a level/layer boundary.
 QUAD_PACK = 4
 # build the quad table only when it stays under this physical budget
-QUAD_TABLE_MAX_BYTES = 1 << 29  # 512 MB
+# quad-table device-memory budget: beyond it the sampler falls back to
+# per-tap fetches (priced in PERF.md r5 session 7 — only the multi-
+# thousand-layer reference envelope exceeds this at pack=8)
+QUAD_TABLE_MAX_BYTES = 3 << 30  # 3 GB
 
 
 def quad_rows_for_layer(mips: list, xp=np):
@@ -241,7 +244,18 @@ class TextureAtlasBuilder:
         quad = None
         quad_bl = None
         pack = QUAD_PACK if p32.shape[0] % QUAD_PACK == 0 else 1
-        # physical row = 128 lanes * 4 B regardless of pack; pack texels share it
+        # physical row = 128 lanes * 4 B regardless of pack; pack texels
+        # share it. Large atlases switch to pack=8 — its (M/8, 128)-lane
+        # rows carry NO lane padding, so physical bytes HALVE (sampling
+        # measured ~5% slower than pack=4, PERF.md r3) — because losing
+        # the table entirely is catastrophic: the fallback samples with
+        # 8 one-wide gathers/pixel, measured 60 ms/frame at 128 layers
+        # (PERF.md r5 session 7; the silent >45-layer cliff).
+        if (
+            p32.shape[0] * 512 // pack > QUAD_TABLE_MAX_BYTES
+            and p32.shape[0] % 8 == 0
+        ):
+            pack = 8
         if p32.shape[0] * 512 // pack <= QUAD_TABLE_MAX_BYTES:
             q = build_quad_table(p32, offsets, sizes, n)
             packed_rows = pack_quad_rows(q, pack)

@@ -82,9 +82,17 @@ def main():
         return (time.perf_counter() - t0) * 1e3
 
     ms0 = frame(0)  # compile
-    conv = [frame(k + 1) for k in range(n_slots + 2)]
-    print(f"compile+first {ms0:.0f} ms; convergence (budget 1, one dirty "
-          f"slot/frame): {['%.0f' % m for m in conv]}", flush=True)
+    # budget 1 commits ONE unit per frame: n_slots (x progressive bands)
+    # units must all render before "steady state" means anything (an
+    # unconverged orbit measures constant convergence churn — the r5
+    # first-run trap: steady == convergence == one band render per frame)
+    n_units = n_slots * progressive
+    conv = [frame(k + 1) for k in range(n_units + 2)]
+    print(f"compile+first {ms0:.0f} ms; convergence over {n_units} units "
+          f"(budget 1): first 8 {['%.0f' % m for m in conv[:8]]} last 4 "
+          f"{['%.0f' % m for m in conv[-4:]]}", flush=True)
+    sig_now = np.asarray(r.state["shadow_cache"][1])
+    assert not np.isnan(sig_now).any(), "units still unconverged"
 
     # steady state: all slots clean -> chained orbit
     out = r.render(make_camera(0.5))
@@ -108,9 +116,12 @@ def main():
     float(np.asarray(out["image"][0, 0, 0]))
     ms = (time.perf_counter() - t0) * 1e3
     sig_after = np.asarray(r.state["shadow_cache"][1])
-    changed = np.nonzero(
-        (sig_before != sig_after).reshape(sig_before.shape[0], -1).any(axis=-1)
-    )[0]
+    # NaN-aware compare: a never-rendered unit's stored NaN must not read
+    # as "changed" (NaN != NaN)
+    diff = (sig_before != sig_after) & ~(
+        np.isnan(sig_before) & np.isnan(sig_after)
+    )
+    changed = np.nonzero(diff.reshape(sig_before.shape[0], -1).any(axis=-1))[0]
     print(f"moved light 7: next frame {ms:.1f} ms; refreshed slots {changed}",
           flush=True)
 

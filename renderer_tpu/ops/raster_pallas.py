@@ -231,7 +231,8 @@ def _bin_blocks(bbox_ok, t_cap, width, height, y0=0, tile_bboxes=None):
     # measured at 4.8 ms/frame at the 1080p bench (scatters are
     # index-rate bound like gathers: n_tiles * n_blocks = 1M destinations);
     # the sort is ~8x cheaper.
-    maxb = min(_round_up(max(n_blocks, 1), 128), MAX_BLOCKS_PER_TILE)
+    # 1024-entry (8 SMEM-row) quantum, like _bin_blocks_from_masks
+    maxb = min(_round_up(max(n_blocks, 1), 1024), MAX_BLOCKS_PER_TILE)
     n_ty_, n_tx_, _ = overlap.shape
     flat = overlap.reshape(n_ty_ * n_tx_, n_blocks)
     block_count = jnp.sum(flat, axis=1, dtype=jnp.int32)
@@ -268,7 +269,10 @@ def _bin_blocks_from_masks(masks, n_blocks):
     w0 = masks[:, 0 : 2 * n_blocks : 2]  # (n_tiles, n_blocks)
     w1 = masks[:, 1 : 2 * n_blocks : 2]
     flat = (w0 | w1) != 0
-    maxb = min(_round_up(max(n_blocks, 1), 128), MAX_BLOCKS_PER_TILE)
+    # 1024-entry (8 SMEM-row) quantum: HBM->SMEM DMA blocks need sublane
+    # counts <= 8 or multiples of 8 — 10- and 12-row lists (capacities
+    # 81920/98304) faulted the TPU worker (PERF.md r5 session 8 bisect)
+    maxb = min(_round_up(max(n_blocks, 1), 1024), MAX_BLOCKS_PER_TILE)
     block_count = jnp.sum(flat, axis=1, dtype=jnp.int32)
     block_list = jnp.argsort(~flat, axis=1, stable=True)[:, :maxb].astype(
         jnp.int32
@@ -359,7 +363,8 @@ def _bin_tri_masks(bbox_ok, t_cap, width, height, y0=0):
     masks = jnp.stack([w0, w1], axis=2)  # (n_ty, n_tx, 2, n_blocks)
     # interleave per block: (n_tiles, n_blocks, 2) word order
     masks = jnp.swapaxes(masks, 2, 3).reshape(n_ty * n_tx, 2 * n_blocks)
-    pad = _round_up(2 * n_blocks, 128) - 2 * n_blocks
+    # 8-SMEM-row quantum for the mask DMA too (see maxb above)
+    pad = _round_up(2 * n_blocks, 1024) - 2 * n_blocks
     if pad:
         masks = jnp.pad(masks, ((0, 0), (0, pad)))
     return masks
